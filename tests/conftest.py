@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding paths are
+exercised without TPU hardware, per the multi-chip dry-run contract.
+
+Note: this image's sitecustomize registers the axon TPU backend and forces
+JAX_PLATFORMS=axon for every interpreter, so env vars alone don't work —
+we must override via jax.config after import (before first device use).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
