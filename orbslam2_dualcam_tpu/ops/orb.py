@@ -70,12 +70,13 @@ def brief_pattern(seed: int, patch_size: int = 31, n_bits: int = 256) -> np.ndar
 
 @functools.lru_cache()
 def ic_angle_masks(radius: int = 15):
-    """Circular-patch coordinate grids for intensity-centroid orientation."""
+    """Circular-patch coordinate grids for intensity-centroid orientation.
+    Returns numpy constants (never cache traced jnp values: an lru_cache
+    would leak tracers across jit scopes)."""
     ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     mask = (xs * xs + ys * ys) <= radius * radius
-    return (jnp.asarray(xs * mask, jnp.float32),
-            jnp.asarray(ys * mask, jnp.float32),
-            jnp.asarray(mask, jnp.float32))
+    return ((xs * mask).astype(np.float32), (ys * mask).astype(np.float32),
+            mask.astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -168,8 +169,8 @@ def select_keypoints(score: jax.Array, n_keep: int, cell: int = 30,
     sorted_cell = flat_cell[order]
     pos = jnp.arange(flat_score.shape[0], dtype=jnp.int32)
     # index of first element of each cell run
-    first_of_cell = jnp.zeros((n_cells,), jnp.int32).at[sorted_cell].min(
-        pos, mode='drop')
+    first_of_cell = jnp.full((n_cells,), jnp.iinfo(jnp.int32).max,
+                             jnp.int32).at[sorted_cell].min(pos, mode='drop')
     rank_sorted = pos - first_of_cell[sorted_cell]
     rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
 
@@ -203,7 +204,8 @@ def _gather_patches(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
 def ic_angles(img: jax.Array, yx: jax.Array, radius: int = 15) -> jax.Array:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77) for a
     batch of keypoints; returns angle in radians (N,)."""
-    xs, ys, mask = ic_angle_masks(radius)
+    xs_np, ys_np, _ = ic_angle_masks(radius)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
     patches = _gather_patches(img, yx, radius)      # (N, P, P)
     m10 = jnp.sum(patches * xs, axis=(1, 2))
     m01 = jnp.sum(patches * ys, axis=(1, 2))

@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_dualcam_tpu.ops import orb
+from orbslam2_dualcam_tpu.utils.config import OrbConfig
+
+CFG = OrbConfig(n_features=200, n_levels=4)
+
+
+def synth_image(rng, H=240, W=320, n_blobs=60):
+    """Random bright squares/blobs on a gradient background — plenty of
+    corners for FAST."""
+    img = np.tile(np.linspace(20, 60, W, dtype=np.float32), (H, 1))
+    for _ in range(n_blobs):
+        y = rng.integers(20, H - 30)
+        x = rng.integers(20, W - 30)
+        s = rng.integers(4, 14)
+        img[y:y + s, x:x + s] += rng.uniform(60, 160)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_fast_score_matches_opencv_corners(rng):
+    import cv2
+    img = synth_image(rng)
+    score = np.asarray(orb.fast_score(jnp.asarray(img), 20.0))
+    ours = set(zip(*np.nonzero(score > 0)))
+    fast = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=False)
+    kps = fast.detect(img.astype(np.uint8), None)
+    cv = {(int(round(k.pt[1])), int(round(k.pt[0]))) for k in kps}
+    # ignore 3px borders where our zero-padding differs
+    cv = {p for p in cv if 3 <= p[0] < 237 and 3 <= p[1] < 317}
+    ours_in = {p for p in ours if 3 <= p[0] < 237 and 3 <= p[1] < 317}
+    # overlap should be high both ways (float-vs-uint8 rounding costs a few)
+    inter = len(cv & ours_in)
+    assert inter / max(len(cv), 1) > 0.9, (len(cv), len(ours_in), inter)
+    assert inter / max(len(ours_in), 1) > 0.9
+
+
+def test_select_keypoints_spread(rng):
+    img = synth_image(rng)
+    s = orb.nms3x3(orb.fast_score(jnp.asarray(img), 20.0))
+    yx, sc = orb.select_keypoints(s, 100, cell=30, border=16)
+    valid = np.asarray(sc) > 0
+    assert valid.sum() >= 50
+    yx = np.asarray(yx)[valid]
+    # spatial spread: selected corners should cover several distinct cells
+    cells = set(map(tuple, (yx // 30).tolist()))
+    assert len(cells) >= 10
+    # in-bounds, on NMS maxima
+    assert (yx[:, 0] >= 16).all() and (yx[:, 0] < 224).all()
+
+
+def test_select_keypoints_prefers_cell_coverage():
+    """One extremely strong cluster must not crowd out weaker cells."""
+    score = np.zeros((120, 120), np.float32)
+    # 5 strong corners packed in one cell
+    for i in range(5):
+        score[40 + 2 * i, 40] = 1000 - i
+    # 3 weak corners in distinct other cells
+    score[20, 80] = 5
+    score[80, 20] = 4
+    score[100, 100] = 3
+    yx, sc = orb.select_keypoints(jnp.asarray(score), 4, cell=30, border=3)
+    got = set(map(tuple, np.asarray(yx)[np.asarray(sc) > 0].tolist()))
+    # the 3 weak cells' best corners must all be chosen before the strong
+    # cell's second-best
+    assert (20, 80) in got and (80, 20) in got and (100, 100) in got
+
+
+def test_ic_angle_rotation_consistency(rng):
+    """Rotating the image by 90 deg shifts intensity-centroid angles by 90."""
+    img = synth_image(rng, 128, 128)
+    j = jnp.asarray(img)
+    yx = jnp.asarray([[50, 60], [70, 40], [90, 90]], jnp.int32)
+    a1 = np.asarray(orb.ic_angles(j, yx))
+    # rotate 90deg CCW: (y, x) -> (127 - x, y)
+    jr = jnp.asarray(np.rot90(img).copy())
+    yxr = jnp.stack([127 - yx[:, 1], yx[:, 0]], axis=-1)
+    a2 = np.asarray(orb.ic_angles(jr, yxr))
+    d = np.angle(np.exp(1j * (a2 - a1 + np.pi / 2)))
+    np.testing.assert_allclose(d, 0, atol=0.15)
+
+
+def test_extract_orb_shapes_and_validity(rng):
+    img = jnp.asarray(synth_image(rng))
+    feats = orb.extract_orb(img, CFG, 200)
+    assert feats.uv.shape == (200, 2)
+    assert feats.desc.shape == (200, 8)
+    assert feats.desc.dtype == jnp.uint32
+    assert int(feats.valid.sum()) > 80
+    # all valid keypoints inside the image
+    uv = np.asarray(feats.uv)[np.asarray(feats.valid)]
+    assert (uv[:, 0] >= 0).all() and (uv[:, 0] < 320).all()
+    assert (uv[:, 1] >= 0).all() and (uv[:, 1] < 240).all()
+    lv = np.asarray(feats.level)[np.asarray(feats.valid)]
+    assert lv.max() >= 1  # multi-level extraction happened
+
+
+def test_extract_orb_jit_and_rig_batching(rng):
+    imgs = jnp.asarray(np.stack([synth_image(rng), synth_image(rng)]))
+    f = jax.jit(lambda im: orb.extract_orb_rig(im, CFG, 128))
+    feats = f(imgs)
+    assert feats.uv.shape == (2, 128, 2)
+    assert int(feats.valid.sum()) > 100
+
+
+def test_descriptor_stability_under_shift(rng):
+    """Descriptors of the same corner in a shifted copy should be near-
+    identical (small Hamming distance), and far from random corners."""
+    img = synth_image(rng)
+    sh = np.roll(img, (3, 5), axis=(0, 1))
+    f1 = orb.extract_orb(jnp.asarray(img), CFG, 150)
+    f2 = orb.extract_orb(jnp.asarray(sh), CFG, 150)
+    d1 = np.asarray(f1.desc)
+    d2 = np.asarray(f2.desc)
+    uv1 = np.asarray(f1.uv)
+    uv2 = np.asarray(f2.uv) - np.array([5, 3])
+    v1 = np.asarray(f1.valid)
+    v2 = np.asarray(f2.valid)
+
+    def ham(a, b):
+        return bin(int(a[0]) ^ int(b[0])).count('1') + sum(
+            bin(int(a[k]) ^ int(b[k])).count('1') for k in range(1, 8))
+
+    matched, dists, rand_dists = 0, [], []
+    rnd = np.random.default_rng(3)
+    for i in np.nonzero(v1)[0]:
+        d = np.linalg.norm(uv2[v2] - uv1[i], axis=1)
+        j_rel = np.argmin(d)
+        if d[j_rel] < 2.0:
+            j = np.nonzero(v2)[0][j_rel]
+            matched += 1
+            dists.append(ham(d1[i], d2[j]))
+            rand_dists.append(ham(d1[i], d2[rnd.choice(np.nonzero(v2)[0])]))
+    assert matched > 30
+    assert np.mean(dists) < 40, np.mean(dists)
+    # synthetic blob corners are self-similar, so random pairs sit well
+    # below the 128 ideal — require clear separation instead
+    assert np.mean(rand_dists) > np.mean(dists) + 25, (
+        np.mean(dists), np.mean(rand_dists))
