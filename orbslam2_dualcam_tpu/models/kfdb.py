@@ -1,0 +1,133 @@
+"""Per-camera inverted-file keyframe database for relocalization and loop
+detection.
+
+TPU re-design of the reference's KeyFrameDatabase (src/KeyFrameDatabase.cc):
+``mvvInvertedFiles[cam][wordId] -> list<KF>`` (KeyFrameDatabase.cc:56-73),
+queried asymmetrically — camera `query_cam`'s BoW vector against camera
+`resp_cam`'s index — which is THE enabler of cross-camera relocalization
+(DetectRelocalizationCandidatesForCam, :250-370).
+
+Index bookkeeping is host-side (irregular lists); candidate *scoring* is a
+dense device op: stacked BoW matrices per camera allow all-pairs L1 scores
+as one subtraction+reduction (vocab/bow.score_l1)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from orbslam2_dualcam_tpu.models.map import KeyFrame, Map
+
+
+class KeyFrameDatabase:
+    def __init__(self, n_cameras: int, n_words: int) -> None:
+        self.n_cameras = n_cameras
+        self.n_words = n_words
+        # inverted[cam][word] = set of kids whose camera-`cam` features hit word
+        self.inverted: List[Dict[int, Set[int]]] = [
+            defaultdict(set) for _ in range(n_cameras)]
+        # dense per-camera BoW vectors for device scoring: kid -> np [n_words]
+        self.bow: List[Dict[int, np.ndarray]] = [dict() for _ in range(n_cameras)]
+
+    # -- maintenance ------------------------------------------------------
+    def add(self, kid: int, cam: int, words: np.ndarray,
+            bow_vec: np.ndarray) -> None:
+        """Register camera `cam` of keyframe `kid` (KeyFrameDatabase::add,
+        :66-73 adds per camera)."""
+        for w in np.unique(words[words >= 0]):
+            self.inverted[cam][int(w)].add(kid)
+        self.bow[cam][kid] = bow_vec
+
+    def erase(self, kid: int) -> None:
+        for cam in range(self.n_cameras):
+            bow = self.bow[cam].pop(kid, None)
+            if bow is None:
+                continue
+            for w in np.nonzero(bow)[0]:
+                self.inverted[cam][int(w)].discard(kid)
+
+    def clear(self) -> None:
+        for cam in range(self.n_cameras):
+            self.inverted[cam].clear()
+            self.bow[cam].clear()
+
+    # -- queries ----------------------------------------------------------
+    def _shared_word_counts(self, words: np.ndarray, resp_cam: int,
+                            exclude: Set[int]) -> Dict[int, int]:
+        counts: Dict[int, int] = defaultdict(int)
+        for w in np.unique(words[words >= 0]):
+            for kid in self.inverted[resp_cam].get(int(w), ()):
+                if kid not in exclude:
+                    counts[kid] += 1
+        return counts
+
+    def _score_and_group(self, counts: Dict[int, int], query_bow: np.ndarray,
+                         resp_cam: int, mp: Map, min_score: float,
+                         min_common_frac: float = 0.8,
+                         keep_frac: float = 0.75) -> List[int]:
+        """Shared-word gating + covisibility-group accumulation, mirroring
+        DetectLoopCandidatesForCam (KeyFrameDatabase.cc:111-247)."""
+        if not counts:
+            return []
+        max_common = max(counts.values())
+        min_common = max_common * min_common_frac
+        scored: Dict[int, float] = {}
+        for kid, c in counts.items():
+            if c < min_common:
+                continue
+            bow = self.bow[resp_cam].get(kid)
+            if bow is None:
+                continue
+            s = 1.0 - 0.5 * float(np.abs(query_bow - bow).sum())
+            if s >= min_score:
+                scored[kid] = s
+        if not scored:
+            return []
+        # accumulate over covisibility groups; candidate = best of group
+        best_acc = 0.0
+        groups: List[tuple[float, int]] = []
+        for kid, s in scored.items():
+            kf = mp.keyframes.get(kid)
+            acc, best_kid, best_s = s, kid, s
+            if kf is not None:
+                for nkid in list(kf.covis)[:10]:
+                    ns = scored.get(nkid)
+                    if ns is not None:
+                        acc += ns
+                        if ns > best_s:
+                            best_s, best_kid = ns, nkid
+            groups.append((acc, best_kid))
+            best_acc = max(best_acc, acc)
+        out, seen = [], set()
+        for acc, kid in groups:
+            if acc >= keep_frac * best_acc and kid not in seen:
+                seen.add(kid)
+                out.append(kid)
+        return out
+
+    def detect_reloc_candidates(self, words: np.ndarray, query_bow: np.ndarray,
+                                query_cam: int, resp_cam: int,
+                                mp: Map) -> List[int]:
+        """Relocalization candidates for a *frame*'s camera `query_cam`
+        against camera `resp_cam`'s index
+        (DetectRelocalizationCandidatesForCam, KeyFrameDatabase.cc:250-370).
+        The (query_cam != resp_cam) case is cross-camera reloc."""
+        del query_cam  # query side only contributes words/bow
+        counts = self._shared_word_counts(words, resp_cam, exclude=set())
+        return self._score_and_group(counts, query_bow, resp_cam, mp,
+                                     min_score=0.0)
+
+    def detect_loop_candidates(self, kf: KeyFrame, words: np.ndarray,
+                               query_bow: np.ndarray, query_cam: int,
+                               resp_cam: int, mp: Map,
+                               min_score: float) -> List[int]:
+        """Loop candidates for keyframe `kf` (DetectLoopCandidatesForCam,
+        KeyFrameDatabase.cc:111-247): excludes kf's covisibility
+        neighbourhood, gates on min_score."""
+        del query_cam
+        exclude = set(kf.covis) | {kf.kid}
+        counts = self._shared_word_counts(words, resp_cam, exclude)
+        return self._score_and_group(counts, query_bow, resp_cam, mp,
+                                     min_score=min_score)

@@ -1,0 +1,212 @@
+"""Bag-of-binary-words place recognition: vocabulary tree + quantization.
+
+TPU re-design of DBoW2's TemplatedVocabulary<FORB>
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): a branching-factor-k,
+depth-L tree of 256-bit ORB centroids, trained by binary k-means++ (k-majority
+voting), used to quantize descriptors to word ids with tf-idf weights and to
+build FeatureVectors (node ids at a fixed level) for match gating.
+
+Device-side redesign: the reference descends the tree per descriptor with
+scalar Hamming loops (TemplatedVocabulary.h:137-147 transform).  Here the
+whole tree is FLATTENED per level into centroid matrices and quantization is
+a chain of L masked Hamming-argmin steps, each one an MXU matmul over ALL
+descriptors at once (ops/matching.hamming_matrix).  The inverted file stays
+host-side (models/kfdb.py), per camera, as in KeyFrameDatabase.cc:56-73.
+
+The vocabulary is trained on-the-fly from dataset descriptors (the reference
+ships a pre-trained 1M-word ORBvoc; training our own keeps the system
+self-contained — loader/saver for our .npz format included).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_dualcam_tpu.ops import matching
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    # numpy >= 2 has bitwise_count
+    return np.bitwise_count(x)
+
+
+def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,8]x[M,8] uint32 -> [N,M] int Hamming (host, for training)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return _popcount64(x).sum(-1).astype(np.int32)
+
+
+def _kmajority(desc: np.ndarray, k: int, rng: np.random.Generator,
+               iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Binary k-means: k-majority voting on bits. Returns (centroids [k,8],
+    assign [N])."""
+    n = len(desc)
+    k = min(k, n)
+    # k-means++ seeding with Hamming distances
+    centroids = [desc[rng.integers(n)]]
+    d = hamming_np(desc, np.asarray([centroids[0]]))[:, 0].astype(np.float64)
+    for _ in range(1, k):
+        p = d * d
+        s = p.sum()
+        idx = rng.integers(n) if s <= 0 else rng.choice(n, p=p / s)
+        centroids.append(desc[idx])
+        d = np.minimum(d, hamming_np(desc, np.asarray([centroids[-1]]))[:, 0])
+    C = np.asarray(centroids)
+    assign = np.zeros(n, np.int64)
+    bits_lut = ((desc[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1)  # [N,8,32]
+    for _ in range(iters):
+        D = hamming_np(desc, C)
+        assign = D.argmin(1)
+        newC = C.copy()
+        for j in range(len(C)):
+            members = bits_lut[assign == j]
+            if len(members) == 0:
+                continue
+            maj = (members.mean(0) > 0.5).astype(np.uint32)
+            newC[j] = (maj << np.arange(32, dtype=np.uint32)[None, :]).sum(1, dtype=np.uint32)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C, hamming_np(desc, C).argmin(1)
+
+
+class Vocabulary(NamedTuple):
+    """Flattened per-level tree.
+
+    centroids[l]: [k^(l+1), 8] uint32 — children of level-l nodes laid out
+    contiguously (node n's children occupy rows n*k .. n*k+k-1; unused rows
+    are filled with the parent centroid so argmin stays in-branch).
+    idf: [n_words] float32 tf-idf word weights.
+    """
+
+    branching: int
+    depth: int
+    centroids: tuple          # tuple of jnp [k^(l+1), 8] uint32 per level
+    idf: jax.Array            # [branching**depth]
+    direct_level: int         # FeatureVector node level (levels from root)
+
+    @property
+    def n_words(self) -> int:
+        return self.branching ** self.depth
+
+
+def train_vocabulary(desc: np.ndarray, branching: int = 10, depth: int = 4,
+                     seed: int = 42, direct_level: int = 2,
+                     weight_docs: Optional[list[np.ndarray]] = None) -> Vocabulary:
+    """Train the tree by recursive k-majority (TemplatedVocabulary::create
+    semantics). desc: [N, 8] uint32 training descriptors."""
+    rng = np.random.default_rng(seed)
+    k = branching
+    levels: list[np.ndarray] = []
+    # groups[i] = indices of desc assigned to node i at current level
+    groups = [np.arange(len(desc))]
+    for level in range(depth):
+        n_nodes = k ** (level + 1)
+        cents = np.zeros((n_nodes, 8), np.uint32)
+        new_groups: list[np.ndarray] = []
+        for node, g in enumerate(groups):
+            if len(g) == 0:
+                # dead branch: copy parent's centroid into all children
+                parent_c = levels[level - 1][node] if level > 0 else np.zeros(8, np.uint32)
+                for j in range(k):
+                    cents[node * k + j] = parent_c
+                    new_groups.append(np.array([], np.int64))
+                continue
+            C, assign = _kmajority(desc[g], k, rng)
+            for j in range(k):
+                cents[node * k + j] = C[j] if j < len(C) else C[len(C) - 1]
+                new_groups.append(g[assign == j] if j < len(C) else
+                                  np.array([], np.int64))
+        levels.append(cents)
+        groups = new_groups
+
+    n_words = k ** depth
+    # idf from training docs (or uniform): DBoW2 TF_IDF weighting
+    idf = np.ones(n_words, np.float32)
+    if weight_docs:
+        counts = np.zeros(n_words, np.float64)
+        voc_tmp = Vocabulary(branching, depth,
+                             tuple(jnp.asarray(c) for c in levels),
+                             jnp.asarray(idf), direct_level)
+        for d in weight_docs:
+            w = np.unique(np.asarray(quantize(voc_tmp, jnp.asarray(d))[0]))
+            counts[w] += 1
+        n_docs = len(weight_docs)
+        idf = np.log(n_docs / np.maximum(counts, 1e-9)).astype(np.float32)
+        idf[counts == 0] = 0.0
+    return Vocabulary(branching, depth,
+                      tuple(jnp.asarray(c) for c in levels),
+                      jnp.asarray(idf), direct_level)
+
+
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path, branching=voc.branching, depth=voc.depth,
+        direct_level=voc.direct_level, idf=np.asarray(voc.idf),
+        **{f"level_{i}": np.asarray(c) for i, c in enumerate(voc.centroids)})
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        branching=int(z["branching"]), depth=depth,
+        centroids=tuple(jnp.asarray(z[f"level_{i}"]) for i in range(depth)),
+        idf=jnp.asarray(z["idf"]), direct_level=int(z["direct_level"]))
+
+
+# ---------------------------------------------------------------------------
+# device-side quantization
+# ---------------------------------------------------------------------------
+
+def quantize(voc: Vocabulary, desc: jax.Array):
+    """Quantize descriptors down the tree. desc [N, 8] uint32.
+
+    Returns (word [N] int32, node [N] int32) where `node` is the tree node
+    id at `direct_level` (the FeatureVector grouping used for match gating,
+    Frame.cc:393-408).  Each level is ONE masked Hamming-argmin over that
+    level's flattened centroids — batched for all descriptors."""
+    k = voc.branching
+    n = desc.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    direct = jnp.zeros(n, jnp.int32)
+    for level, cents in enumerate(voc.centroids):
+        D = matching.hamming_matrix(desc, cents)         # [N, k^(level+1)]
+        # restrict to the current node's k children
+        cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+        child_lo = node[:, None] * k
+        allowed = (cols >= child_lo) & (cols < child_lo + k)
+        Dm = jnp.where(allowed, D, matching.INF)
+        node = jnp.argmin(Dm, axis=1).astype(jnp.int32)
+        if level + 1 == voc.direct_level:
+            direct = node
+    return node, direct     # final-level node id == word id
+
+
+class BowVector(NamedTuple):
+    """Sparse tf-idf document vector as dense [n_words] weights (L1
+    normalized) — small enough for our trees to stay dense on device."""
+
+    weights: jax.Array   # [n_words] float32
+
+
+def bow_vector(voc: Vocabulary, words: jax.Array, valid: jax.Array) -> jax.Array:
+    """tf-idf L1-normalized dense BoW vector [n_words]."""
+    w = jnp.zeros(voc.n_words, jnp.float32).at[words].add(
+        jnp.where(valid, 1.0, 0.0))
+    w = w * voc.idf
+    s = jnp.sum(jnp.abs(w))
+    return w / jnp.where(s > 0, s, 1.0)
+
+
+def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score (ScoringObject.h:76):
+    s = 2 * sum_i (|v1|+|v2|-|v1-v2|) / 2 ... standard form below, in [0,1].
+    Accepts [n_words] or batched [..., n_words]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
