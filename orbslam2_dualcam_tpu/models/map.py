@@ -117,6 +117,51 @@ class MapPoint:
         self.pos = self.pos * s
 
 
+def _popcount(x: np.ndarray) -> np.ndarray:
+    return np.bitwise_count(x)
+
+
+def update_point_stats(mp: MapPoint, m: "Map", T_sc: np.ndarray,
+                       scale_factors: np.ndarray) -> None:
+    """MapPoint::UpdateNormalAndDepth + ComputeDistinctiveDescriptors
+    (MapPoint.cc:270-409): viewing normal averaged over PER-CAMERA observing
+    centers, scale-invariance distance band from the reference KF's level,
+    and the min-median-Hamming descriptor."""
+    if not mp.obs:
+        return
+    normals = []
+    descs = []
+    for kid, row in mp.obs.items():
+        kf = m.keyframes.get(kid)
+        if kf is None:
+            continue
+        cam = mp.obs_cam.get(kid, 0)
+        center = kf.cam_center(cam, T_sc[cam])
+        v = mp.pos - center
+        n = np.linalg.norm(v)
+        if n > 1e-9:
+            normals.append(v / n)
+        descs.append(kf.desc[row])
+    if normals:
+        nsum = np.sum(normals, axis=0)
+        mp.normal = nsum / max(np.linalg.norm(nsum), 1e-9)
+    ref = m.keyframes.get(mp.ref_kid)
+    if ref is not None and mp.ref_kid in mp.obs:
+        row = mp.obs[mp.ref_kid]
+        cam = mp.obs_cam.get(mp.ref_kid, 0)
+        center = ref.cam_center(cam, T_sc[cam])
+        dist = float(np.linalg.norm(mp.pos - center))
+        level = int(ref.level[row])
+        nl = len(scale_factors)
+        mp.max_dist = dist * scale_factors[level]
+        mp.min_dist = mp.max_dist / scale_factors[nl - 1]
+    if descs:
+        D = np.asarray(descs)
+        H = _popcount(D[:, None, :] ^ D[None, :, :]).sum(-1)
+        med = np.median(H, axis=1)
+        mp.desc = D[int(np.argmin(med))]
+
+
 class Map:
     """KF/MP registry + covisibility maintenance (reference: Map.cc plus the
     graph logic in KeyFrame.cc / MapPoint.cc)."""

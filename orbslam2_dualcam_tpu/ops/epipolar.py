@@ -20,10 +20,11 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array,
     """Linear DLT triangulation for point batches.
 
     P1, P2: (3, 4) projection matrices (K [R|t]); uv1, uv2: (..., 2) pixels.
-    Returns (..., 3) world points.  Instead of per-point SVD (the reference's
-    cv::SVD::MODIFY_A at Initializer.cc:761), solves the equivalent 4x4
-    normal system A^T A x = 0 via eigendecomposition — batched and
-    MXU-friendly."""
+    Returns (..., 3) world points.  Uses a batched SVD of the row-normalized
+    4x4 DLT system (the reference does per-point cv::SVD in float64 at
+    Initializer.cc:761; in float32 the normal-equation shortcut A^T A
+    squares the condition number and loses ~5px of accuracy, so we keep the
+    direct factorization and normalize rows)."""
     def row(P, u, axis):
         return u[..., None] * P[2] - P[axis]
 
@@ -33,10 +34,9 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array,
         row(P2, uv2[..., 0], 0),
         row(P2, uv2[..., 1], 1),
     ], axis=-2)                                   # (..., 4, 4)
-    AtA = jnp.einsum('...ki,...kj->...ij', A, A)
-    # smallest eigenvector of symmetric 4x4
-    w, v = jnp.linalg.eigh(AtA)
-    X = v[..., :, 0]
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    _, _, Vt = jnp.linalg.svd(A)
+    X = Vt[..., 3, :]                             # smallest singular vector
     wcomp = X[..., 3]
     return X[..., :3] / jnp.where(jnp.abs(wcomp) > 1e-12, wcomp, 1e-12)[..., None]
 

@@ -1,0 +1,174 @@
+"""Jitted per-frame device programs shared by the pipeline stages.
+
+Groups the fixed-shape JAX computations the Tracker calls every frame, so
+each is compiled once per (config, capacity) and reused: extraction,
+BoW quantization, motion-model matching, local-map matching + pose opt.
+
+This is the TPU replacement of the per-frame hot path
+Tracking::GrabImageDual -> Frame ctor -> Track() (Tracking.cc:236-447):
+the control flow stays on host, the math lives here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_dualcam_tpu.ops import camera, matching, orb
+from orbslam2_dualcam_tpu.ops.camera import CameraRig
+from orbslam2_dualcam_tpu.optim import pose_opt
+from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.vocab import bow
+
+
+class FrameData(NamedTuple):
+    """Device-side per-frame data, [ncam, N, ...] fixed shapes."""
+
+    feats: orb.Features
+    words: jax.Array      # [ncam, N] vocabulary word ids (or -1)
+    nodes: jax.Array      # [ncam, N] direct-index node ids (or -1)
+
+
+def make_extract_fn(cfg: SystemConfig, n_feats: int,
+                    voc: Optional[bow.Vocabulary], rig: CameraRig):
+    """Build the jitted per-frame extraction program (closure keeps the
+    vocabulary's static tree parameters out of the trace).
+
+    Keypoints are undistorted here, once, exactly as
+    Frame::UndistortKeyPoints does per camera (Frame.cc:410-442)."""
+
+    @jax.jit
+    def extract_frame(images: jax.Array) -> FrameData:
+        feats = orb.extract_orb_rig(images, cfg.orb, n_feats)
+
+        def undist(c_feats, K, K_inv, dist):
+            uv = camera.undistort_pixels(c_feats.uv, K, K_inv, dist)
+            return c_feats._replace(uv=uv, uv_raw=c_feats.uv)
+
+        feats = jax.vmap(undist)(feats, rig.K, rig.K_inv, rig.dist)
+        if voc is not None:
+            def quant(d, v):
+                w, n = bow.quantize(voc, d)
+                return (jnp.where(v, w, -1), jnp.where(v, n, -1))
+            words, nodes = jax.vmap(quant)(feats.desc, feats.valid)
+        else:
+            words = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
+            nodes = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
+        return FrameData(feats=feats, words=words, nodes=nodes)
+
+    return extract_frame
+
+
+class TrackResult(NamedTuple):
+    T_cw: jax.Array        # optimized rig pose
+    mp_ids: jax.Array      # [ncam, N] matched map-point slot per keypoint (-1)
+    n_inliers: jax.Array
+
+
+@jax.jit
+def match_projection_pose(T_pred: jax.Array,
+                          feats_uv: jax.Array, feats_desc: jax.Array,
+                          feats_level: jax.Array, feats_angle: jax.Array,
+                          feats_valid: jax.Array,
+                          mp_pos: jax.Array, mp_desc: jax.Array,
+                          mp_valid: jax.Array, mp_max_dist: jax.Array,
+                          mp_min_dist: jax.Array, mp_normal: jax.Array,
+                          rig: CameraRig, radius: jax.Array,
+                          level_scales: jax.Array,
+                          max_hamming: jax.Array,
+                          view_cos_th: jax.Array) -> TrackResult:
+    """The core tracking step: project map points into every camera, match
+    in a pixel window, run pose optimization.
+
+    Implements SearchByProjection(+frustum gating, Frame::isInFrustum
+    Frame.cc:244-312) followed by PoseOptimization — the
+    TrackWithMotionModel / TrackLocalMap hot path (Tracking.cc:1384-1520).
+
+    feats_* are [ncam, N, ...]; mp_* are [M, ...] padded stores.
+    Returns per-keypoint map-point assignment and the optimized pose.
+    """
+    ncam, N = feats_valid.shape
+    M = mp_pos.shape[0]
+
+    cam_ids = jnp.arange(ncam)
+
+    def per_cam(c):
+        uv_proj, z = camera.project_rig(rig, c, T_pred, mp_pos)   # [M,2],[M]
+        # frustum: positive depth, in image, distance within scale band,
+        # viewing angle (Frame.cc:265-297)
+        cc = -(rig.T_sc[c] @ T_pred)[:3, :3].T @ (rig.T_sc[c] @ T_pred)[:3, 3]
+        d = mp_pos - cc
+        dist = jnp.linalg.norm(d, axis=-1)
+        in_img = camera.in_image(rig, c, uv_proj)
+        viewcos = jnp.sum(d * mp_normal, -1) / jnp.maximum(dist, 1e-9)
+        vis = (mp_valid & (z > 0) & in_img &
+               (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist) &
+               (viewcos > view_cos_th))
+        # predicted level from distance (MapPoint::PredictScale,
+        # MapPoint.cc:423-455)
+        ratio = jnp.maximum(mp_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+        pred_level = jnp.clip(jnp.ceil(jnp.log(ratio) /
+                                       jnp.log(level_scales[1])), 0,
+                              level_scales.shape[0] - 1).astype(jnp.int32)
+        # per-point search radius scaled by predicted level
+        r = radius * level_scales[pred_level]
+        allow = matching.window_mask(uv_proj, feats_uv[c], r)
+        allow &= matching.level_mask(pred_level, feats_level[c], -1, 1)
+        res = matching.match_masked(
+            mp_desc, feats_desc[c], allow=allow,
+            valid_a=vis, valid_b=feats_valid[c],
+            max_dist=max_hamming, ratio=0.9)
+        return res.idx, res.dist
+
+    idxs, dists = jax.vmap(per_cam)(cam_ids)      # [ncam, M]
+
+    # invert: per-keypoint map point (resolve camera conflicts by distance)
+    def invert(c):
+        idx = idxs[c]
+        kp_assign = jnp.full((N,), -1, jnp.int32)
+        kp_dist = jnp.full((N,), 1e9)
+        ok = idx >= 0
+        safe = jnp.where(ok, idx, 0)
+        d = jnp.where(ok, dists[c], 1e9)
+        best = jnp.full((N,), 1e9).at[safe].min(d)
+        mprange = jnp.arange(M, dtype=jnp.int32)
+        first = jnp.full((N,), M, jnp.int32).at[safe].min(
+            jnp.where(ok & (d <= best[safe]), mprange, M))
+        win = ok & (first[safe] == mprange)
+        kp_assign = kp_assign.at[jnp.where(win, safe, N)].set(
+            jnp.where(win, mprange, -1), mode='drop')
+        return kp_assign
+
+    mp_of_kp = jax.vmap(invert)(cam_ids)           # [ncam, N]
+
+    # build pose-opt edge set: one edge per matched keypoint
+    matched = mp_of_kp >= 0
+    mp_sel = jnp.where(matched, mp_of_kp, 0)
+    X = mp_pos[mp_sel]                              # [ncam, N, 3]
+    uv = feats_uv
+    cam_e = jnp.broadcast_to(cam_ids[:, None], (ncam, N))
+    inv_sigma2 = 1.0 / (level_scales[feats_level] ** 2)
+
+    T_opt, inl, n = pose_opt.optimize_pose(
+        T_pred, X.reshape(-1, 3), uv.reshape(-1, 2), cam_e.reshape(-1),
+        inv_sigma2.reshape(-1), matched.reshape(-1),
+        rig.T_sc, rig.adj_sc, rig.K)
+    mp_final = jnp.where(inl.reshape(ncam, N), mp_of_kp, -1)
+    return TrackResult(T_cw=T_opt, mp_ids=mp_final, n_inliers=n)
+
+
+@jax.jit
+def match_bow_frame_kf(desc_f: jax.Array, nodes_f: jax.Array,
+                       angle_f: jax.Array, valid_f: jax.Array,
+                       desc_k: jax.Array, nodes_k: jax.Array,
+                       angle_k: jax.Array, valid_k: jax.Array,
+                       max_dist: jax.Array, ratio: jax.Array):
+    """SearchByBoWCrossCam Frame<->KF (ORBmatcher.cc:162-296): brute-force
+    within equal direct-index nodes."""
+    allow = matching.node_mask(nodes_f, nodes_k) & (nodes_f >= 0)[:, None]
+    return matching.match_masked(
+        desc_f, desc_k, allow=allow, valid_a=valid_f, valid_b=valid_k,
+        max_dist=max_dist, ratio=ratio, angle_a=angle_f, angle_b=angle_k)
