@@ -318,7 +318,9 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
         blur = gaussian_blur7(im)
         d = brief_descriptors(blur, yx, ang, pattern)
         scale_l = cfg.scale_factor ** l
-        uv = yx[:, ::-1].astype(jnp.float32) * scale_l   # (x, y) at level-0
+        # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
+        # (plain xl*s injects a level-dependent ~0.4px systematic bias)
+        uv = (yx[:, ::-1].astype(jnp.float32) + 0.5) * scale_l - 0.5
         uvs.append(uv)
         lvls.append(jnp.full((budget,), l, jnp.int32))
         angs.append(ang)

@@ -1,0 +1,207 @@
+"""Distributed global bundle adjustment over a device mesh.
+
+The reference has NO distributed path (single process, pthreads —
+SURVEY §2.3); this is the capability the TPU build adds: global BA whose
+observation set is sharded across devices, with the landmark and reduced
+camera systems assembled by `psum` over ICI.
+
+Design (scaling-book style):
+* mesh axis ``"data"`` shards the EDGE table (observations) — the only
+  O(n)-growing axis.  Poses [K,6] and points [M,3] are replicated: K and M
+  are orders of magnitude smaller than E, and replicating them turns every
+  LM iteration into embarrassingly-parallel edge work + two small psums.
+* each device computes its shard's residuals/Jacobians and partial
+  segment-sums (H_pp, H_ll, g, and the W-products inside the Schur CG
+  matvec); `jax.lax.psum` over "data" completes the reductions, after which
+  every device runs the identical (replicated) CG update — no host round
+  trips inside the solve.
+* built on `shard_map` so the collective schedule is explicit; the outer
+  jit partitions inputs via NamedSharding.
+
+This scales BA to maps far beyond one chip's HBM-resident edge budget and
+is exercised (8 virtual devices) by tests/test_dist_ba.py and the
+driver's dryrun_multichip contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orbslam2_dualcam_tpu.optim import factors
+from orbslam2_dualcam_tpu.optim.ba import BAProblem, BAResult
+from orbslam2_dualcam_tpu.utils.config import BAConfig
+
+
+def _psum(x):
+    return jax.lax.psum(x, axis_name="data")
+
+
+def _build_local(poses, points, edges, pose_valid, pose_fixed, point_valid,
+                 T_sc, adj_sc, Ks, robust, delta2):
+    r, Jp, Jx = factors.edge_residuals_jacobians(poses, points, edges, T_sc,
+                                                 adj_sc, Ks)
+    chi2 = jnp.sum(r * r, -1) * edges.inv_sigma2
+    w = edges.inv_sigma2 * jnp.where(robust,
+                                     factors.huber_weight(chi2, delta2), 1.0)
+    emask = (edges.valid & pose_valid[edges.kf] & point_valid[edges.mp])
+    w = jnp.where(emask, w, 0.0)
+    Jp = jnp.where(pose_fixed[edges.kf, None, None], 0.0, Jp)
+    return r, Jp, Jx, w, chi2
+
+
+def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
+                         iters: int = 10, cg_iters: int = 24,
+                         cfg: BAConfig = BAConfig(),
+                         robust: bool = True) -> BAResult:
+    """Distributed LM/Schur/PCG global BA.  Edge arrays must have length
+    divisible by the mesh's "data" axis size."""
+    K = prob.poses.shape[0]
+    M = prob.points.shape[0]
+    delta2 = cfg.huber_delta ** 2
+    robust_flag = jnp.bool_(robust)
+    n_dev = mesh.shape["data"]
+    E = prob.edges.kf.shape[0]
+    assert E % n_dev == 0, f"edge count {E} not divisible by mesh size {n_dev}"
+
+    edge_spec = P("data")
+    rep = P()
+
+    def seg_psum(data, ids, num):
+        return _psum(jax.ops.segment_sum(data, ids, num_segments=num))
+
+    def step_fn(poses, points, edges, pose_valid, pose_fixed, point_valid,
+                lam, cost):
+        """One LM step on this device's edge shard; replicated updates."""
+        r, Jp, Jx, w, chi2 = _build_local(
+            poses, points, edges, pose_valid, pose_fixed, point_valid,
+            T_sc, adj_sc, Ks, robust_flag, delta2)
+        ekf = edges.kf
+        emp = edges.mp
+
+        g_p = seg_psum(jnp.einsum('eri,e,er->ei', Jp, w, r), ekf, K)
+        g_l = seg_psum(jnp.einsum('eri,e,er->ei', Jx, w, r), emp, M)
+        Hpp = seg_psum(jnp.einsum('eri,e,erj->eij', Jp, w, Jp), ekf, K)
+        Hll = seg_psum(jnp.einsum('eri,e,erj->eij', Jx, w, Jx), emp, M)
+
+        def damp(H, l):
+            d = jnp.diagonal(H, axis1=-2, axis2=-1)
+            return H + jax.vmap(jnp.diag)(l * d + 1e-8)
+
+        Hpp_d = damp(Hpp, lam)
+        Hll_inv = jnp.linalg.inv(damp(Hll, lam) + 1e-9 * jnp.eye(3))
+        W_e = jnp.einsum('eri,e,erj->eij', Jp, w, Jx)     # local shard
+
+        def S_matvec(v):
+            u = seg_psum(jnp.einsum('eij,ei->ej', W_e, v[ekf]), emp, M)
+            y = jnp.einsum('mij,mj->mi', Hll_inv, u)
+            zz = seg_psum(jnp.einsum('eij,ej->ei', W_e, y[emp]), ekf, K)
+            out = jnp.einsum('kij,kj->ki', Hpp_d, v) - zz
+            return jnp.where(pose_fixed[:, None], 0.0, out)
+
+        y0 = jnp.einsum('mij,mj->mi', Hll_inv, g_l)
+        rhs = -g_p + seg_psum(jnp.einsum('eij,ej->ei', W_e, y0[emp]), ekf, K)
+        rhs = jnp.where(pose_fixed[:, None], 0.0, rhs)
+        P_inv = jnp.linalg.inv(Hpp_d + 1e-6 * jnp.eye(6))
+
+        def precond(v):
+            return jnp.where(pose_fixed[:, None], 0.0,
+                             jnp.einsum('kij,kj->ki', P_inv, v))
+
+        def cg_body(_, st):
+            x, rr, p, rz = st
+            Ap = S_matvec(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            zz = precond(rr)
+            rz2 = jnp.vdot(rr, zz)
+            p = zz + (rz2 / jnp.maximum(rz, 1e-20)) * p
+            return x, rr, p, rz2
+
+        z0 = precond(rhs)
+        dx_p, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (jnp.zeros_like(rhs), rhs, z0,
+                                   jnp.vdot(rhs, z0)))
+
+        u = seg_psum(jnp.einsum('eij,ei->ej', W_e, dx_p[ekf]), emp, M)
+        dx_l = -jnp.einsum('mij,mj->mi', Hll_inv, g_l + u)
+        dx_l = jnp.where(point_valid[:, None], dx_l, 0.0)
+
+        from orbslam2_dualcam_tpu.ops import lie
+        new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_p, poses)
+        new_poses = jnp.where(pose_fixed[:, None, None], poses, new_poses)
+        new_points = points + dx_l
+
+        # replicated robust cost of the trial point
+        def cost_of(ps, xs):
+            rr, _, _, ww, c2 = _build_local(
+                ps, xs, edges, pose_valid, pose_fixed, point_valid,
+                T_sc, adj_sc, Ks, jnp.bool_(False), delta2)
+            emask = (edges.valid & pose_valid[edges.kf] &
+                     point_valid[edges.mp])
+            rho = jnp.where(robust_flag & (c2 > delta2),
+                            2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 0.0)) -
+                            delta2, c2)
+            return _psum(jnp.where(emask, rho, 0.0).sum())
+
+        new_cost = cost_of(new_poses, new_points)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.clip(jnp.where(accept, lam / cfg.lm_lambda_factor,
+                                 lam * cfg.lm_lambda_factor), 1e-8, 1e8)
+        cost = jnp.where(accept, new_cost, cost)
+        return poses, points, lam, cost
+
+    def shard_body(poses, points, e_kf, e_mp, e_cam, e_uv, e_s2, e_valid,
+                   pose_valid, pose_fixed, point_valid):
+        from orbslam2_dualcam_tpu.optim.factors import Edges
+        edges = Edges(kf=e_kf, mp=e_mp, cam=e_cam, uv=e_uv,
+                      inv_sigma2=e_s2, valid=e_valid)
+
+        def init_cost(ps, xs):
+            r, _, _, w, c2 = _build_local(
+                ps, xs, edges, pose_valid, pose_fixed, point_valid,
+                T_sc, adj_sc, Ks, jnp.bool_(False), delta2)
+            emask = (edges.valid & pose_valid[edges.kf] &
+                     point_valid[edges.mp])
+            rho = jnp.where(robust_flag & (c2 > delta2),
+                            2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 0.0)) -
+                            delta2, c2)
+            return _psum(jnp.where(emask, rho, 0.0).sum())
+
+        def body(carry, _):
+            poses, points, lam, cost = carry
+            poses, points, lam, cost = step_fn(
+                poses, points, edges, pose_valid, pose_fixed, point_valid,
+                lam, cost)
+            return (poses, points, lam, cost), None
+
+        c0 = init_cost(poses, points)
+        (poses, points, _, cost), _ = jax.lax.scan(
+            body, (poses, points, jnp.float32(cfg.lm_lambda_init), c0),
+            None, length=iters)
+        # final chi2 on the local shard (stays sharded)
+        r, _, _, _, chi2 = _build_local(
+            poses, points, edges, pose_valid, pose_fixed, point_valid,
+            T_sc, adj_sc, Ks, jnp.bool_(False), delta2)
+        return poses, points, chi2, cost
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(rep, rep, edge_spec, edge_spec, edge_spec, edge_spec,
+                  edge_spec, edge_spec, rep, rep, rep),
+        out_specs=(rep, rep, edge_spec, rep),
+        check_vma=False)
+
+    e = prob.edges
+    poses, points, chi2, cost = jax.jit(mapped)(
+        prob.poses, prob.points, e.kf, e.mp, e.cam, e.uv, e.inv_sigma2,
+        e.valid, prob.pose_valid, prob.pose_fixed, prob.point_valid)
+    return BAResult(poses=poses, points=points, edge_chi2=chi2, cost=cost)

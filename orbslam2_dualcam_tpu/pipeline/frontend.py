@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from orbslam2_dualcam_tpu.ops import camera, matching, orb
+from orbslam2_dualcam_tpu.ops import camera, lie, matching, orb
 from orbslam2_dualcam_tpu.ops.camera import CameraRig
 from orbslam2_dualcam_tpu.optim import pose_opt
 from orbslam2_dualcam_tpu.utils.config import SystemConfig
@@ -69,27 +69,20 @@ class TrackResult(NamedTuple):
 
 
 @jax.jit
-def match_projection_pose(T_pred: jax.Array,
-                          feats_uv: jax.Array, feats_desc: jax.Array,
-                          feats_level: jax.Array, feats_angle: jax.Array,
-                          feats_valid: jax.Array,
-                          mp_pos: jax.Array, mp_desc: jax.Array,
-                          mp_valid: jax.Array, mp_max_dist: jax.Array,
-                          mp_min_dist: jax.Array, mp_normal: jax.Array,
-                          rig: CameraRig, radius: jax.Array,
-                          level_scales: jax.Array,
-                          max_hamming: jax.Array,
-                          view_cos_th: jax.Array) -> TrackResult:
-    """The core tracking step: project map points into every camera, match
-    in a pixel window, run pose optimization.
+def project_and_match(T_pred: jax.Array,
+                      feats_uv: jax.Array, feats_desc: jax.Array,
+                      feats_level: jax.Array, feats_valid: jax.Array,
+                      mp_pos: jax.Array, mp_desc: jax.Array,
+                      mp_valid: jax.Array, mp_max_dist: jax.Array,
+                      mp_min_dist: jax.Array, mp_normal: jax.Array,
+                      rig: CameraRig, radius: jax.Array,
+                      level_scales: jax.Array, max_hamming: jax.Array,
+                      view_cos_th: jax.Array) -> jax.Array:
+    """Project map points into every camera and match in scaled windows.
 
-    Implements SearchByProjection(+frustum gating, Frame::isInFrustum
-    Frame.cc:244-312) followed by PoseOptimization — the
-    TrackWithMotionModel / TrackLocalMap hot path (Tracking.cc:1384-1520).
-
-    feats_* are [ncam, N, ...]; mp_* are [M, ...] padded stores.
-    Returns per-keypoint map-point assignment and the optimized pose.
-    """
+    Implements SearchByProjection with frustum gating (Frame::isInFrustum
+    Frame.cc:244-312, ORBmatcher.cc:297-414).  Returns mp_of_kp [ncam, N]
+    (slot index into the mp arrays, or -1)."""
     ncam, N = feats_valid.shape
     M = mp_pos.shape[0]
 
@@ -142,8 +135,30 @@ def match_projection_pose(T_pred: jax.Array,
             jnp.where(win, mprange, -1), mode='drop')
         return kp_assign
 
-    mp_of_kp = jax.vmap(invert)(cam_ids)           # [ncam, N]
+    return jax.vmap(invert)(cam_ids)               # [ncam, N]
 
+
+@jax.jit
+def match_projection_pose(T_pred: jax.Array,
+                          feats_uv: jax.Array, feats_desc: jax.Array,
+                          feats_level: jax.Array, feats_angle: jax.Array,
+                          feats_valid: jax.Array,
+                          mp_pos: jax.Array, mp_desc: jax.Array,
+                          mp_valid: jax.Array, mp_max_dist: jax.Array,
+                          mp_min_dist: jax.Array, mp_normal: jax.Array,
+                          rig: CameraRig, radius: jax.Array,
+                          level_scales: jax.Array,
+                          max_hamming: jax.Array,
+                          view_cos_th: jax.Array) -> TrackResult:
+    """Projection matching + pose optimization — the TrackWithMotionModel /
+    TrackLocalMap hot path (Tracking.cc:1384-1520)."""
+    ncam, N = feats_valid.shape
+    mp_of_kp = project_and_match(
+        T_pred, feats_uv, feats_desc, feats_level, feats_valid,
+        mp_pos, mp_desc, mp_valid, mp_max_dist, mp_min_dist, mp_normal,
+        rig, radius, level_scales, max_hamming, view_cos_th)
+
+    cam_ids = jnp.arange(ncam)
     # build pose-opt edge set: one edge per matched keypoint
     matched = mp_of_kp >= 0
     mp_sel = jnp.where(matched, mp_of_kp, 0)
@@ -158,6 +173,60 @@ def match_projection_pose(T_pred: jax.Array,
         rig.T_sc, rig.adj_sc, rig.K)
     mp_final = jnp.where(inl.reshape(ncam, N), mp_of_kp, -1)
     return TrackResult(T_cw=T_opt, mp_ids=mp_final, n_inliers=n)
+
+
+@jax.jit
+def triangulate_pair(T1: jax.Array, T2: jax.Array, cam: jax.Array,
+                     uv1: jax.Array, desc1: jax.Array, level1: jax.Array,
+                     free1: jax.Array,
+                     uv2: jax.Array, desc2: jax.Array, level2: jax.Array,
+                     free2: jax.Array,
+                     rig: CameraRig, level_scales: jax.Array,
+                     max_hamming: jax.Array):
+    """New-map-point triangulation between two keyframes for one camera.
+
+    Implements LocalMapping::CreateNewMapPoints' inner loop
+    (LocalMapping.cc:275-490): fundamental matrix from the two rig poses
+    through camera `cam`'s extrinsic (ComputeF12, :812-873), epipolar-gated
+    descriptor matching (SearchForTriangulation, ORBmatcher.cc:1253-1427),
+    DLT triangulation and cheirality/parallax/reprojection checks.
+
+    free1/free2 mask keypoints not yet bound to a map point.
+    Returns (idx2_of_1 [N], X_world [N,3], good [N])."""
+    from orbslam2_dualcam_tpu.ops import epipolar as epi
+
+    K = rig.K[cam]
+    T_sc = rig.T_sc[cam]
+    T1c = T_sc @ T1
+    T2c = T_sc @ T2
+    F12 = epi.fundamental_from_poses(K, T1c, K, T2c)
+    # epipole of camera 1 in image 2
+    c1 = -T1c[:3, :3].T @ T1c[:3, 3]
+    x2 = lie.se3_apply(T2c, c1)
+    ez = jnp.where(jnp.abs(x2[2]) > 1e-9, x2[2], 1e-9)
+    ep = jnp.stack([K[0, 0] * x2[0] / ez + K[0, 2],
+                    K[1, 1] * x2[1] / ez + K[1, 2]])
+    sigma2_2 = level_scales[level2] ** 2
+    allow = matching.epipolar_mask(F12, uv1, uv2, sigma2_2, ep,
+                                   jnp.float32(100.0))
+    # epipolar lines admit many repeated-texture candidates: require a
+    # mutual best match and a ratio margin to keep association pure (the
+    # reference gets the same effect from BoW-node restriction,
+    # ORBmatcher.cc:1253-1427)
+    res = matching.match_masked(desc1, desc2, allow=allow, valid_a=free1,
+                                valid_b=free2, max_dist=max_hamming,
+                                ratio=0.8, mutual=True)
+    idx = res.idx
+    m = idx >= 0
+    sel = jnp.where(m, idx, 0)
+    P1 = epi.projection_matrix(K, T1c)
+    P2 = epi.projection_matrix(K, T2c)
+    X = epi.triangulate_dlt(P1, P2, uv1, uv2[sel])
+    s1 = level_scales[level1] ** 2
+    s2 = sigma2_2[sel]
+    good = m & epi.triangulation_checks(
+        T1c, T2c, X, K, K, uv1, uv2[sel], s1, s2)
+    return idx, X, good
 
 
 @jax.jit

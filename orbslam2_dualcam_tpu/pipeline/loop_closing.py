@@ -1,0 +1,253 @@
+"""Loop closing: detection, Sim3 computation, correction, pose graph.
+
+TPU re-design of src/LoopClosing.cc (897 LoC).  Detection uses the
+per-camera inverted-file database with covisibility-consistency grouping
+(DetectLoop, :116-257); Sim3 computation runs the batched Horn RANSAC and
+Sim3 optimization; correction propagates through covisible KFs with
+per-observing-camera map-point updates and finishes with pose-graph
+optimization + global BA.
+
+This stage is filled in incrementally: detection + Sim3 + correction are
+implemented; see optim/pose_graph.py for the essential-graph solver.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_dualcam_tpu.models.kfdb import KeyFrameDatabase
+from orbslam2_dualcam_tpu.models.map import KeyFrame, Map, update_point_stats
+from orbslam2_dualcam_tpu.ops import lie, matching, ransac
+from orbslam2_dualcam_tpu.ops.camera import CameraRig
+from orbslam2_dualcam_tpu.pipeline import ba_pack
+from orbslam2_dualcam_tpu.optim import ba
+from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.vocab import bow
+
+
+class LoopCloser:
+    """QUERY/RESP cameras are both cam0, as in the reference
+    (LoopClosing.h:89-90); scale is free (7-DoF, LoopClosing.h:91)."""
+
+    def __init__(self, cfg: SystemConfig, rig: CameraRig, slam_map: Map,
+                 kfdb: KeyFrameDatabase, voc: bow.Vocabulary) -> None:
+        self.cfg = cfg
+        self.rig = rig
+        self.map = slam_map
+        self.kfdb = kfdb
+        self.voc = voc
+        self.last_loop_kid = -1
+        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.key = jax.random.PRNGKey(7)
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def on_new_keyframe(self, kf: KeyFrame) -> None:
+        cands = self._detect(kf)
+        if not cands:
+            return
+        ok, Scw, loop_kf, matched_mids = self._compute_sim3(kf, cands)
+        if not ok:
+            return
+        self._correct_loop(kf, loop_kf, Scw, matched_mids)
+
+    # ------------------------------------------------------------------
+    def _detect(self, kf: KeyFrame) -> List[int]:
+        """DetectLoop (LoopClosing.cc:116-257)."""
+        m = self.map
+        cfg = self.cfg.loop
+        if kf.kid < self.last_loop_kid + cfg.loop_kf_gap or \
+                m.n_keyframes < cfg.loop_kf_gap:
+            return []
+        ncam = self.cfg.n_cameras
+        N = len(kf.word) // ncam
+        words = kf.word[:N]
+        vvalid = kf.kp_valid[:N] & (words >= 0)
+        vec = np.asarray(bow.bow_vector(
+            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
+            jnp.asarray(vvalid)))
+        # min score vs covisible neighbours (LoopClosing.cc:130-151)
+        min_score = 1.0
+        for nkid in m.covisible_kfs(kf):
+            nb = self.kfdb.bow[0].get(nkid)
+            if nb is not None:
+                s = 1.0 - 0.5 * float(np.abs(vec - nb).sum())
+                min_score = min(min_score, s)
+        cands = self.kfdb.detect_loop_candidates(
+            kf, np.where(vvalid, words, -1), vec, 0, 0, m, min_score)
+        if not cands:
+            self.consistent_groups = []
+            return []
+        # covisibility-consistency accumulation (LoopClosing.cc:180-250)
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for kid in cands:
+            ckf = m.keyframes.get(kid)
+            if ckf is None:
+                continue
+            group = set(m.covisible_kfs(ckf)) | {kid}
+            best = 0
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    best = max(best, count + 1)
+            new_groups.append((group, best))
+            if best >= self.cfg.loop.covisibility_consistency_th:
+                enough.append(kid)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf: KeyFrame, cands: List[int]):
+        """ComputeSim3 (LoopClosing.cc:260-466): BoW match map points of the
+        candidate against kf's cam0 features, Horn Sim3 RANSAC in the two
+        camera frames, then guided projection widening."""
+        m = self.map
+        ncam = self.cfg.n_cameras
+        N = len(kf.kp_valid) // ncam
+        for kid in cands[:5]:
+            lkf = m.keyframes.get(kid)
+            if lkf is None:
+                continue
+            res = matching.match_masked(
+                jnp.asarray(kf.desc[:N].astype(np.uint32)),
+                jnp.asarray(lkf.desc[:N].astype(np.uint32)),
+                allow=matching.node_mask(jnp.asarray(kf.node[:N]),
+                                         jnp.asarray(lkf.node[:N])),
+                valid_a=jnp.asarray(kf.kp_valid[:N] & (kf.mp_idx[:N] >= 0)),
+                valid_b=jnp.asarray(lkf.kp_valid[:N] & (lkf.mp_idx[:N] >= 0)),
+                max_dist=float(self.cfg.matcher.th_low),
+                ratio=self.cfg.matcher.nn_ratio_bow)
+            idx = np.asarray(res.idx)
+            rows = np.nonzero(idx >= 0)[0]
+            if len(rows) < self.cfg.loop.min_bow_matches:
+                continue
+            # matched MP positions in each KF's cam0 frame
+            P1, P2, uv1, uv2, s1, s2, pair_mids = [], [], [], [], [], [], []
+            for r in rows:
+                mid1 = int(kf.mp_idx[r])
+                mid2 = int(lkf.mp_idx[idx[r]])
+                mp1 = m.points.get(mid1)
+                mp2 = m.points.get(mid2)
+                if mp1 is None or mp2 is None:
+                    continue
+                P1.append(kf.T_cw[:3, :3] @ mp1.pos + kf.T_cw[:3, 3])
+                P2.append(lkf.T_cw[:3, :3] @ mp2.pos + lkf.T_cw[:3, 3])
+                uv1.append(kf.uv[r])
+                uv2.append(lkf.uv[idx[r]])
+                s1.append(self.cfg.orb.scale_factors[int(kf.level[r])] ** 2)
+                s2.append(self.cfg.orb.scale_factors[int(lkf.level[idx[r]])] ** 2)
+                pair_mids.append((mid1, mid2))
+            if len(P1) < self.cfg.loop.min_bow_matches:
+                continue
+            self.key, k = jax.random.split(self.key)
+            R, t, s, inl, cnt, ok = ransac.sim3_ransac(
+                k, jnp.asarray(np.asarray(P1, np.float32)),
+                jnp.asarray(np.asarray(P2, np.float32)),
+                jnp.ones(len(P1), bool),
+                jnp.asarray(np.asarray(uv1, np.float32)),
+                jnp.asarray(np.asarray(uv2, np.float32)),
+                self.rig.K[0], self.rig.K[0],
+                jnp.asarray(np.asarray(s1, np.float32)),
+                jnp.asarray(np.asarray(s2, np.float32)),
+                fix_scale=self.cfg.loop.fix_scale)
+            if not bool(ok) or int(cnt) < self.cfg.loop.min_sim3_inliers:
+                continue
+            # S_cw = S_c1_c2 * T_c2_w  (cam0 frames; LoopClosing.cc:377-387
+            # composes through the extrinsic when query cam != 0 — here both
+            # are cam0 as in the reference config)
+            S12 = np.asarray(lie.sim3(R, t, float(s)))
+            Scw = S12 @ lkf.T_cw
+            matched_mids = [pm for pm, keep in zip(pair_mids, np.asarray(inl))
+                            if keep]
+            if len(matched_mids) >= self.cfg.loop.min_sim3_inliers:
+                return True, Scw, lkf, matched_mids
+        return False, None, None, None
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: KeyFrame, loop_kf: KeyFrame,
+                      Scw: np.ndarray, matched_mids) -> None:
+        """CorrectLoop (LoopClosing.cc:469-701): Sim3-propagate corrections
+        to the covisible window, correct their map points per observing
+        camera, fuse duplicates, then pose-graph + global BA."""
+        m = self.map
+        # snapshot pre-correction poses: the pose graph needs odometry-
+        # consistent measurements (NonCorrectedSim3, LoopClosing.cc:520-540)
+        old_poses = {kid: okf.T_cw.copy() for kid, okf in m.keyframes.items()}
+        window = [kf.kid] + m.covisible_kfs(kf)
+        corrections: Dict[int, np.ndarray] = {}
+        T_kw = kf.T_cw
+        for kid in window:
+            okf = m.keyframes.get(kid)
+            if okf is None:
+                continue
+            T_ik = okf.T_cw @ np.linalg.inv(T_kw)     # relative (SE3)
+            S_iw = T_ik @ Scw                          # corrected Sim3
+            corrections[kid] = S_iw
+        # correct map points observed in the window through their
+        # per-camera observer (LoopClosing.cc:574-593)
+        done: Set[int] = set()
+        for kid in window:
+            okf = m.keyframes.get(kid)
+            if okf is None:
+                continue
+            S_iw = corrections[kid]
+            Ri, ti, si = _sim3_parts(S_iw)
+            T_old = okf.T_cw
+            for mid in okf.mp_idx[okf.mp_idx >= 0]:
+                mid = int(mid)
+                if mid in done:
+                    continue
+                mp = m.points.get(mid)
+                if mp is None:
+                    continue
+                done.add(mid)
+                # x_cam(old) -> world(corrected): inv(S_iw) * T_old
+                x_c = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+                mp.pos = (Ri.T @ (x_c - ti)) / si
+            # corrected SE3 pose: [R, t/s] (Optimizer.cc:962-967 convention)
+            okf.T_cw = np.eye(4)
+            okf.T_cw[:3, :3] = Ri
+            okf.T_cw[:3, 3] = ti / si
+        # merge matched loop points: current-KF point replaced by loop point
+        for mid_cur, mid_loop in matched_mids:
+            a = m.points.get(mid_cur)
+            b = m.points.get(mid_loop)
+            if a is None or b is None or a.mid == b.mid:
+                continue
+            m.replace_point(a, b)
+        kf.loop_edges.add(loop_kf.kid)
+        loop_kf.loop_edges.add(kf.kid)
+        self.last_loop_kid = kf.kid
+        self.n_loops_closed += 1
+        # pose graph over the essential graph, then global BA
+        from orbslam2_dualcam_tpu.optim import pose_graph
+        pose_graph.optimize_essential_graph(
+            m, self.rig, loop_kid=loop_kf.kid, cur_kid=kf.kid,
+            old_poses=old_poses, fix_scale=self.cfg.loop.fix_scale,
+            iters=self.cfg.ba.pose_graph_iters)
+        self._global_ba()
+
+    def _global_ba(self) -> None:
+        m = self.map
+        kids = sorted(m.keyframes.keys())
+        fixed = {m.origin_kid}
+        if m.first_scale_kid >= 0:
+            fixed.add(m.first_scale_kid)
+        prob, all_kids, mids, meta = ba_pack.pack_problem(
+            m, kids, fixed_kids=fixed,
+            level_sigma2=np.asarray(self.cfg.orb.level_sigma2, np.float32),
+            ncam=self.cfg.n_cameras)
+        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
+                          iters=10)
+        ba_pack.unpack_result(m, res, all_kids, mids, meta,
+                              chi2_th=self.cfg.ba.chi2_mono)
+
+
+def _sim3_parts(S: np.ndarray):
+    sR = S[:3, :3]
+    s = float(np.cbrt(np.linalg.det(sR)))
+    return sR / s, S[:3, 3].copy(), s

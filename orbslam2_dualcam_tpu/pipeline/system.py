@@ -1,0 +1,143 @@
+"""System facade: construction, per-frame entry, savers.
+
+TPU re-design of src/System.cc: builds the map, keyframe database, tracker,
+local mapper, and (optionally) loop closer, and exposes the per-frame
+TrackDual-style entry plus trajectory/map savers in the reference's
+``x y z qx qy qz qw [id]`` text format (System.cc:335-410).
+
+The reference spawns LocalMapping/LoopClosing threads (System.cc:116-150);
+here stages run synchronously by default (deterministic, and the heavy math
+is already asynchronous on the TPU stream).  `async_mapping=True` moves the
+local-mapping + loop-closing work onto a background thread fed by a
+keyframe queue — the same pipeline parallelism, with the map guarded by a
+coarse lock exactly where the reference holds mMutexMapUpdate.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from orbslam2_dualcam_tpu.models.kfdb import KeyFrameDatabase
+from orbslam2_dualcam_tpu.models.map import Map
+from orbslam2_dualcam_tpu.ops import camera, lie
+from orbslam2_dualcam_tpu.pipeline.local_mapping import LocalMapper
+from orbslam2_dualcam_tpu.pipeline.tracking import Tracker
+from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.vocab import bow
+
+
+class System:
+    def __init__(self, cfg: SystemConfig,
+                 voc: Optional[bow.Vocabulary] = None,
+                 enable_loop_closing: bool = True,
+                 async_mapping: bool = False) -> None:
+        self.cfg = cfg
+        self.rig = camera.make_rig(cfg)
+        self.map = Map()
+        self.voc = voc
+        self.kfdb = (KeyFrameDatabase(cfg.n_cameras, voc.n_words)
+                     if voc is not None else None)
+        self.loop_closer = None
+        if enable_loop_closing and voc is not None:
+            from orbslam2_dualcam_tpu.pipeline.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.rig, self.map, self.kfdb,
+                                          voc)
+        self.mapper = LocalMapper(cfg, self.rig, self.map,
+                                  loop_closer=self.loop_closer)
+        self._async = async_mapping
+        self.map_lock = threading.Lock()
+        if async_mapping:
+            self._kf_queue: "queue.Queue" = queue.Queue()
+            self._stop = threading.Event()
+            self._mapper_thread = threading.Thread(
+                target=self._mapping_loop, daemon=True)
+            self._mapper_thread.start()
+            front = _AsyncMapperProxy(self)
+        else:
+            front = self.mapper
+        self.tracker = Tracker(cfg, self.rig, voc, self.map, self.kfdb,
+                               local_mapper=front)
+
+    # ------------------------------------------------------------------
+    def track(self, images: np.ndarray, timestamp: float) -> str:
+        """Per-frame entry (System::TrackDual, System.cc:153-180).
+        images: [ncam, H, W] uint8/float grayscale."""
+        images = np.asarray(images, np.float32)
+        if self._async:
+            with self.map_lock:
+                return self.tracker.process(images, timestamp)
+        return self.tracker.process(images, timestamp)
+
+    def _mapping_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                kf, run_ba = self._kf_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            with self.map_lock:
+                self.mapper.on_new_keyframe(kf, run_ba=run_ba)
+
+    def shutdown(self) -> None:
+        if self._async:
+            while not self._kf_queue.empty():
+                import time
+                time.sleep(0.01)
+            self._stop.set()
+            self._mapper_thread.join(timeout=5.0)
+
+    def reset(self) -> None:
+        """System/Tracking reset (Tracking.cc:1863-1918)."""
+        self.map.clear()
+        if self.kfdb is not None:
+            self.kfdb.clear()
+        self.tracker.state = Tracker.NOT_INITIALIZED
+        self.tracker.init_frame = None
+        self.tracker.velocity = None
+        self.tracker.trajectory.clear()
+        self.mapper.recent_mids.clear()
+
+    # ------------------------------------------------------------------
+    # savers (System.cc:335-410 formats)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pose_line(T_cw: np.ndarray, suffix: str = "") -> str:
+        T_wc = np.linalg.inv(T_cw)
+        t = T_wc[:3, 3]
+        import jax.numpy as jnp
+        q = np.asarray(lie.rot_to_quat(jnp.asarray(T_wc[:3, :3],
+                                                   jnp.float32)))
+        return (f"{t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}{suffix}")
+
+    def save_frame_trajectory(self, path: str) -> None:
+        """SaveFramePoseTcw (System.cc:372-391): per-frame camera poses."""
+        with open(path, "w") as f:
+            for fid, ts, T in self.tracker.composed_trajectory():
+                f.write(self._pose_line(T, f" {fid}") + "\n")
+
+    def save_keyframe_trajectory(self, path: str) -> None:
+        with open(path, "w") as f:
+            for kid in sorted(self.map.keyframes):
+                kf = self.map.keyframes[kid]
+                f.write(self._pose_line(kf.T_cw, f" {kid}") + "\n")
+
+    def save_map_points(self, path: str) -> None:
+        with open(path, "w") as f:
+            for mid in sorted(self.map.points):
+                p = self.map.points[mid].pos
+                f.write(f"{p[0]:.7f} {p[1]:.7f} {p[2]:.7f} {mid}\n")
+
+
+class _AsyncMapperProxy:
+    """Queue-facing stand-in handed to the Tracker in async mode (the
+    reference's LocalMapping::InsertKeyFrame queue, LocalMapping.h:123)."""
+
+    def __init__(self, system: System) -> None:
+        self._system = system
+
+    def on_new_keyframe(self, kf, run_ba: bool = True) -> None:
+        self._system._kf_queue.put((kf, run_ba))

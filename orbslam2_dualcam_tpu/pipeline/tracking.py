@@ -1,0 +1,587 @@
+"""Tracking front end: per-frame state machine.
+
+TPU re-design of src/Tracking.cc (2117 LoC): the state machine, keyframe
+policy, and map bookkeeping run on host over numpy mirrors; every per-frame
+numeric step (extraction, BoW, projection matching, pose optimization,
+two-view initialization) is a fixed-shape jitted program from
+pipeline/frontend.py and ops/.
+
+States: NOT_INITIALIZED -> OK -> (FULL once the dual map is scaled) / LOST,
+matching Tracking.h:107-114 (SYSTEM_NOT_READY/NO_IMAGES_YET are collapsed
+into construction / first-frame handling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_dualcam_tpu.models.map import (KeyFrame, Map, MapPoint,
+                                             update_point_stats)
+from orbslam2_dualcam_tpu.models.kfdb import KeyFrameDatabase
+from orbslam2_dualcam_tpu.ops import camera, lie, matching, ransac
+from orbslam2_dualcam_tpu.ops.camera import CameraRig
+from orbslam2_dualcam_tpu.optim import ba
+from orbslam2_dualcam_tpu.optim.factors import Edges
+from orbslam2_dualcam_tpu.pipeline import frontend
+from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.vocab import bow
+
+
+@dataclass
+class HostFrame:
+    """Numpy mirror of one frame's device features."""
+
+    frame_id: int
+    timestamp: float
+    uv: np.ndarray        # [ncam, N, 2]
+    level: np.ndarray     # [ncam, N]
+    angle: np.ndarray
+    desc: np.ndarray      # [ncam, N, 8] uint32
+    valid: np.ndarray     # [ncam, N] bool
+    words: np.ndarray
+    nodes: np.ndarray
+    T_cw: np.ndarray | None = None
+    mp_ids: np.ndarray | None = None    # [ncam, N] map-point mid or -1
+
+    @property
+    def ncam(self) -> int:
+        return self.uv.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.uv.shape[1]
+
+
+class Tracker:
+    NOT_INITIALIZED = "NOT_INITIALIZED"
+    OK = "OK"
+    FULL = "FULL"
+    LOST = "LOST"
+
+    def __init__(self, cfg: SystemConfig, rig: CameraRig,
+                 voc: Optional[bow.Vocabulary] = None,
+                 slam_map: Optional[Map] = None,
+                 kfdb: Optional[KeyFrameDatabase] = None,
+                 local_mapper=None) -> None:
+        self.cfg = cfg
+        self.rig = rig
+        self.voc = voc
+        self.map = slam_map if slam_map is not None else Map()
+        self.kfdb = kfdb
+        self.local_mapper = local_mapper
+        self.state = self.NOT_INITIALIZED
+
+        self.extract = frontend.make_extract_fn(cfg, cfg.orb.n_track, voc, rig)
+        self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
+        self._level_scales = jnp.asarray(self.scale_factors)
+
+        self.frame_id = 0
+        self.last: Optional[HostFrame] = None
+        self.velocity: Optional[np.ndarray] = None
+        self.ref_kid: int = -1
+        self.last_kf_frame_id: int = -1
+        self.init_frame: Optional[HostFrame] = None
+        self.n_track_inliers = 0
+        self.key = jax.random.PRNGKey(cfg.vocab.seed)
+        # diagnostics
+        self.trajectory: List[Tuple[int, float, np.ndarray]] = []
+        self.events: List[str] = []
+
+    # ------------------------------------------------------------------
+    def process(self, images: np.ndarray, timestamp: float) -> str:
+        """Main per-frame entry (System::TrackDual -> Tracking::GrabImageDual,
+        System.cc:153-180).  images [ncam, H, W] float32 grayscale."""
+        fd = self.extract(jnp.asarray(images))
+        frame = self._pull(fd, timestamp)
+        self.frame_id += 1
+
+        if self.state == self.NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+        elif self.state in (self.OK, self.FULL):
+            ok = self._track(frame)
+            if not ok:
+                self.state = self.LOST
+                self.events.append(f"LOST@{frame.frame_id}")
+        if self.state == self.LOST:
+            if self._relocalize(frame):
+                self.state = self.OK
+                self.events.append(f"RELOC@{frame.frame_id}")
+
+        if frame.T_cw is not None:
+            # store the pose RELATIVE to the reference keyframe so later
+            # BA / loop corrections retro-apply at save time, as the
+            # reference's mlRelativeFramePoses does (System.cc:340-370)
+            ref = self.map.keyframes.get(self.ref_kid)
+            if ref is not None:
+                T_rel = frame.T_cw @ np.linalg.inv(ref.T_cw)
+                self.trajectory.append(
+                    (frame.frame_id, timestamp, self.ref_kid, T_rel,
+                     frame.T_cw.copy()))
+        self.last = frame
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _pull(self, fd: frontend.FrameData, ts: float) -> HostFrame:
+        return HostFrame(
+            frame_id=self.frame_id, timestamp=ts,
+            uv=np.asarray(fd.feats.uv), level=np.asarray(fd.feats.level),
+            angle=np.asarray(fd.feats.angle), desc=np.asarray(fd.feats.desc),
+            valid=np.asarray(fd.feats.valid), words=np.asarray(fd.words),
+            nodes=np.asarray(fd.nodes),
+            mp_ids=np.full(fd.feats.valid.shape, -1, np.int64))
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    # initialization (Tracking.cc:1928-2112)
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, frame: HostFrame) -> None:
+        cfg = self.cfg
+        n_valid = int(frame.valid[0].sum())
+        if self.init_frame is None:
+            if n_valid >= cfg.init.min_matches:
+                self.init_frame = frame
+            return
+        if n_valid < cfg.init.min_matches:
+            self.init_frame = None
+            return
+        f0 = self.init_frame
+        # SearchForInitialization: 100px window, ratio 0.9, rotation check
+        res = matching.match_masked(
+            jnp.asarray(f0.desc[0]), jnp.asarray(frame.desc[0]),
+            allow=matching.window_mask(jnp.asarray(f0.uv[0]),
+                                       jnp.asarray(frame.uv[0]), 100.0),
+            valid_a=jnp.asarray(f0.valid[0]), valid_b=jnp.asarray(frame.valid[0]),
+            max_dist=float(cfg.matcher.th_low), ratio=0.9,
+            angle_a=jnp.asarray(f0.angle[0]), angle_b=jnp.asarray(frame.angle[0]))
+        idx = np.asarray(res.idx)
+        rows0 = np.nonzero(idx >= 0)[0]
+        if len(rows0) < cfg.init.min_matches:
+            self.init_frame = frame      # slide the window
+            return
+        rows1 = idx[rows0]
+        uv1 = jnp.asarray(f0.uv[0][rows0])
+        uv2 = jnp.asarray(frame.uv[0][rows1])
+        tv = ransac.two_view_init(
+            self._next_key(), uv1, uv2, jnp.ones(len(rows0), bool),
+            self.rig.K[0], n_hyp=cfg.init.ransac_iters,
+            sigma=cfg.init.sigma, min_parallax_deg=cfg.init.min_parallax_deg,
+            min_triangulated=cfg.init.min_triangulated)
+        if not bool(tv.success):
+            return
+        self._create_initial_map(f0, frame, rows0, rows1, tv)
+
+    def _create_initial_map(self, f0: HostFrame, f1: HostFrame,
+                            rows0: np.ndarray, rows1: np.ndarray,
+                            tv: ransac.TwoViewResult) -> None:
+        """CreateInitialMapMonocular (Tracking.cc:2007-2112): two KFs, the
+        triangulated points, a 20-iteration global BA, then median-depth
+        normalization to depth 1."""
+        cfg = self.cfg
+        inl = np.asarray(tv.inliers)
+        pts = np.asarray(tv.points)
+        T21 = np.asarray(tv.T_21)
+
+        med = float(np.median(pts[inl, 2]))
+        if med <= 0 or inl.sum() < cfg.init.min_triangulated:
+            return
+        pts = pts / med
+        T21 = T21.copy()
+        T21[:3, 3] /= med
+
+        m = self.map
+        kf0 = self._make_keyframe(f0, np.eye(4, dtype=np.float64))
+        kf1 = self._make_keyframe(f1, T21.astype(np.float64))
+        for i in np.nonzero(inl)[0]:
+            r0 = int(rows0[i])
+            r1 = int(rows1[i])
+            mp = m.new_point(pts[i], kf1.kid, 0)
+            m.add_observation(mp, kf0, r0, 0)
+            m.add_observation(mp, kf1, r1, 0)
+            update_point_stats(mp, m, np.asarray(self.rig.T_sc),
+                               self.scale_factors)
+        m.update_connections(kf0)
+        m.update_connections(kf1)
+
+        # global BA, then re-normalize median scene depth to 1 (the BA can
+        # move the gauge) — Tracking.cc:2045-2087
+        self._global_ba_two(kf0, kf1, iters=cfg.ba.global_iters)
+        depths = [float(lie_apply_z(kf1.T_cw, p.pos))
+                  for p in m.points.values()]
+        med2 = float(np.median(depths)) if depths else 1.0
+        if med2 > 0:
+            s = 1.0 / med2
+            for kf in (kf0, kf1):
+                kf.T_cw[:3, 3] *= s
+            for p in m.points.values():
+                p.pos = p.pos * s
+                update_point_stats(p, m, np.asarray(self.rig.T_sc),
+                                   self.scale_factors)
+
+        f1.T_cw = kf1.T_cw.copy()
+        f1.mp_ids[0][rows1[inl]] = [kf1.mp_idx[int(r)] for r in rows1[inl]]
+        self.ref_kid = kf1.kid
+        self.last_kf_frame_id = f1.frame_id
+        self.velocity = None
+        self.state = self.OK
+        self.events.append(
+            f"INIT@{f1.frame_id} pts={m.n_points}")
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf0, run_ba=False)
+            self.local_mapper.on_new_keyframe(kf1, run_ba=False)
+        if self.kfdb is not None:
+            self._kfdb_add(kf0)
+            self._kfdb_add(kf1)
+        self.init_frame = None
+
+    def _global_ba_two(self, kf0: KeyFrame, kf1: KeyFrame, iters: int):
+        from orbslam2_dualcam_tpu.pipeline import ba_pack
+        prob, all_kids, mids, meta = ba_pack.pack_problem(
+            self.map, [kf0.kid, kf1.kid], fixed_kids={kf0.kid},
+            level_sigma2=self.scale_factors ** 2, ncam=self.cfg.n_cameras)
+        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
+                          iters=iters)
+        ba_pack.unpack_result(self.map, res, all_kids, mids, meta,
+                              chi2_th=self.cfg.ba.chi2_mono)
+
+    # ------------------------------------------------------------------
+    # tracking (Tracking.cc:271-447)
+    # ------------------------------------------------------------------
+    def _track(self, frame: HostFrame) -> bool:
+        cfg = self.cfg
+        last = self.last
+        if self.velocity is not None:
+            T_pred = self.velocity @ last.T_cw
+        else:
+            T_pred = last.T_cw.copy()
+
+        # stage 1: motion-model matching against last frame's map points
+        mids1 = np.unique(last.mp_ids[last.mp_ids >= 0])
+        r1 = self._match_stage(frame, T_pred, mids1, radius=15.0,
+                               max_hamming=float(cfg.matcher.th_high))
+        n1 = int(r1.n_inliers) if r1 is not None else 0
+        if r1 is not None and n1 >= cfg.tracker.min_matches_motion:
+            T_cur = np.asarray(r1.T_cw)
+            frame_mp = self._slots_to_mids(r1)
+        else:
+            # fallback: reference-KF points, wider window
+            # (TrackReferenceKeyFrame, Tracking.cc:1295-1369)
+            ref = self.map.keyframes.get(self.ref_kid)
+            mids2 = (np.unique(ref.mp_idx[ref.mp_idx >= 0])
+                     if ref is not None else np.empty(0, np.int64))
+            r2 = self._match_stage(frame, last.T_cw, mids2, radius=30.0,
+                                   max_hamming=float(cfg.matcher.th_high))
+            if r2 is None or int(r2.n_inliers) < cfg.tracker.min_matches_track:
+                return False
+            T_cur = np.asarray(r2.T_cw)
+            frame_mp = self._slots_to_mids(r2)
+
+        # stage 2: track local map (Tracking.cc:1478-1520)
+        frame.T_cw = T_cur
+        frame.mp_ids = frame_mp
+        local_mids = self._local_map_points(frame)
+        r3 = self._match_stage(frame, T_cur, local_mids, radius=6.0,
+                               max_hamming=float(cfg.matcher.th_low))
+        if r3 is not None:
+            n3 = int(r3.n_inliers)
+            if n3 >= cfg.tracker.min_matches_track:
+                frame.T_cw = np.asarray(r3.T_cw)
+                frame.mp_ids = self._slots_to_mids(r3)
+        n_final = int((frame.mp_ids >= 0).sum())
+        self.n_track_inliers = n_final
+        if n_final < cfg.tracker.min_matches_track:
+            return False
+
+        # bookkeeping: found/visible counters
+        for mid in frame.mp_ids[frame.mp_ids >= 0]:
+            mp = self.map.points.get(int(mid))
+            if mp is not None:
+                mp.n_visible += 1
+                mp.n_found += 1
+
+        self.velocity = frame.T_cw @ np.linalg.inv(self.last.T_cw)
+        self._update_ref_kid(frame)
+        if self._need_new_keyframe(frame):
+            self._create_keyframe(frame)
+        return True
+
+    def _match_stage(self, frame: HostFrame, T_pred: np.ndarray,
+                     mids: np.ndarray, radius: float, max_hamming: float):
+        """Pack map points `mids` into padded device arrays and run the
+        jitted projection-match + pose-opt step."""
+        cap = self.cfg.capacity.max_local_mp
+        mids = mids[:cap]
+        M = len(mids)
+        if M < 10:
+            return None
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        valid = np.zeros(cap, bool)
+        for i, mid in enumerate(mids):
+            mp = self.map.points.get(int(mid))
+            if mp is None or mp.is_bad:
+                continue
+            pos[i] = mp.pos
+            desc[i] = mp.desc
+            normal[i] = mp.normal
+            dmin[i] = mp.min_dist
+            dmax[i] = mp.max_dist if mp.max_dist > 0 else 1e9
+            valid[i] = True
+        if valid.sum() < 10:
+            return None
+        res = frontend.match_projection_pose(
+            jnp.asarray(T_pred.astype(np.float32)),
+            jnp.asarray(frame.uv), jnp.asarray(frame.desc),
+            jnp.asarray(frame.level), jnp.asarray(frame.angle),
+            jnp.asarray(frame.valid),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
+            self.rig, jnp.float32(radius), self._level_scales,
+            jnp.float32(max_hamming), jnp.float32(0.5))
+        self._last_slot_mids = mids
+        return res
+
+    def _slots_to_mids(self, res: frontend.TrackResult) -> np.ndarray:
+        slots = np.asarray(res.mp_ids)
+        out = np.full(slots.shape, -1, np.int64)
+        ok = slots >= 0
+        out[ok] = self._last_slot_mids[slots[ok]]
+        return out
+
+    def _local_map_points(self, frame: HostFrame) -> np.ndarray:
+        """UpdateLocalKeyFrames/Points (Tracking.cc:1707-1860): KFs sharing
+        observations with the current frame + their covisible neighbours;
+        all their points."""
+        counts: Dict[int, int] = {}
+        for mid in frame.mp_ids[frame.mp_ids >= 0]:
+            mp = self.map.points.get(int(mid))
+            if mp is None:
+                continue
+            for kid in mp.obs:
+                counts[kid] = counts.get(kid, 0) + 1
+        if not counts:
+            return np.empty(0, np.int64)
+        local_kids = sorted(counts, key=counts.get, reverse=True)
+        local_kids = local_kids[:self.cfg.tracker.local_kf_limit]
+        extra = []
+        for kid in local_kids[:10]:
+            kf = self.map.keyframes.get(kid)
+            if kf is not None:
+                extra.extend(self.map.covisible_kfs(kf, 10))
+        seen = set()
+        mids: List[int] = []
+        for kid in local_kids + extra:
+            kf = self.map.keyframes.get(kid)
+            if kf is None or kid in seen:
+                continue
+            seen.add(kid)
+            for mid in kf.mp_idx[kf.mp_idx >= 0]:
+                mids.append(int(mid))
+        return np.unique(np.asarray(mids, np.int64))
+
+    def _update_ref_kid(self, frame: HostFrame) -> None:
+        counts: Dict[int, int] = {}
+        for mid in frame.mp_ids[frame.mp_ids >= 0]:
+            mp = self.map.points.get(int(mid))
+            if mp is None:
+                continue
+            for kid in mp.obs:
+                counts[kid] = counts.get(kid, 0) + 1
+        if counts:
+            self.ref_kid = max(counts, key=counts.get)
+
+    # ------------------------------------------------------------------
+    # keyframe policy (Tracking.cc:1523-1615)
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: HostFrame) -> bool:
+        cfg = self.cfg
+        ref = self.map.keyframes.get(self.ref_kid)
+        if ref is None:
+            return False
+        # reference tracked-point count (KeyFrame::TrackedMapPoints with
+        # minObs 3, or 2 while the map has <=2 KFs — Tracking.cc:1541-1545)
+        min_obs = 3 if self.map.n_keyframes > 2 else 2
+        n_ref = 0
+        for mid in ref.mp_idx[ref.mp_idx >= 0]:
+            mp = self.map.points.get(int(mid))
+            if mp is not None and mp.n_obs >= min_obs:
+                n_ref += 1
+        since = frame.frame_id - self.last_kf_frame_id
+        c1 = since >= cfg.tracker.max_frames_between_kf
+        c1b = since >= cfg.tracker.min_frames_between_kf + 2
+        c2 = (self.n_track_inliers < cfg.tracker.kf_ref_ratio * max(n_ref, 1)
+              and self.n_track_inliers > cfg.tracker.min_matches_track)
+        return bool((c1 or c1b) and c2)
+
+    def _make_keyframe(self, frame: HostFrame, T_cw: np.ndarray) -> KeyFrame:
+        """Flatten per-camera features into the global concatenated layout
+        (Frame.cc:179-196) and register the KF."""
+        ncam, N = frame.valid.shape
+        kf = KeyFrame(
+            kid=self.map.new_kid(), frame_id=frame.frame_id,
+            T_cw=np.asarray(T_cw, np.float64).copy(),
+            uv=frame.uv.reshape(ncam * N, 2).astype(np.float64),
+            kp_cam=np.repeat(np.arange(ncam), N),
+            level=frame.level.reshape(-1).astype(np.int32),
+            angle=frame.angle.reshape(-1),
+            desc=frame.desc.reshape(ncam * N, 8),
+            kp_valid=frame.valid.reshape(-1),
+            mp_idx=np.full(ncam * N, -1, np.int64),
+            word=frame.words.reshape(-1), node=frame.nodes.reshape(-1))
+        self.map.add_keyframe(kf)
+        return kf
+
+    def _create_keyframe(self, frame: HostFrame) -> None:
+        kf = self._make_keyframe(frame, frame.T_cw)
+        ncam, N = frame.valid.shape
+        for c in range(ncam):
+            for row in np.nonzero(frame.mp_ids[c] >= 0)[0]:
+                mid = int(frame.mp_ids[c][row])
+                mp = self.map.points.get(mid)
+                if mp is None or mp.is_bad:
+                    continue
+                g = c * N + int(row)
+                if kf.mp_idx[g] < 0:
+                    self.map.add_observation(mp, kf, g, c)
+        self.map.update_connections(kf)
+        self.ref_kid = kf.kid
+        self.last_kf_frame_id = frame.frame_id
+        self.events.append(f"KF@{frame.frame_id} kid={kf.kid}")
+        if self.kfdb is not None:
+            self._kfdb_add(kf)
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf)
+
+    def _kfdb_add(self, kf: KeyFrame) -> None:
+        if self.voc is None or self.kfdb is None:
+            return
+        ncam = self.cfg.n_cameras
+        N = len(kf.word) // ncam
+        for c in range(ncam):
+            words = kf.word[c * N:(c + 1) * N]
+            vvalid = kf.kp_valid[c * N:(c + 1) * N]
+            vec = np.asarray(bow.bow_vector(
+                self.voc, jnp.asarray(np.where(vvalid, words, 0)),
+                jnp.asarray(vvalid & (words >= 0))))
+            self.kfdb.add(kf.kid, c, words[vvalid & (words >= 0)], vec)
+
+    # ------------------------------------------------------------------
+    # relocalization (Tracking.cc:1035-1261)
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: HostFrame) -> bool:
+        if self.kfdb is None or self.voc is None:
+            # fallback: brute-force vs reference KF map points from the last
+            # known pose (keeps the no-vocab configuration recoverable)
+            if self.last is None or self.last.T_cw is None:
+                return False
+            mids = self._local_map_points_from_all()
+            res = self._match_stage(frame, self.last.T_cw, mids, radius=50.0,
+                                    max_hamming=float(self.cfg.matcher.th_high))
+            if res is None or int(res.n_inliers) < 30:
+                return False
+            frame.T_cw = np.asarray(res.T_cw)
+            frame.mp_ids = self._slots_to_mids(res)
+            self.velocity = None
+            return True
+
+        words = frame.words[0]
+        vvalid = frame.valid[0] & (words >= 0)
+        vec = np.asarray(bow.bow_vector(
+            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
+            jnp.asarray(vvalid)))
+        cands = self.kfdb.detect_reloc_candidates(
+            np.where(vvalid, words, -1), vec, 0, 0, self.map)
+        for kid in cands[:5]:
+            kf = self.map.keyframes.get(kid)
+            if kf is None:
+                continue
+            ok = self._reloc_against_kf(frame, kf, query_cam=0, resp_cam=0)
+            if ok:
+                self.velocity = None
+                return True
+        return False
+
+    def _reloc_against_kf(self, frame: HostFrame, kf: KeyFrame,
+                          query_cam: int, resp_cam: int) -> bool:
+        """BoW match + PnP RANSAC + pose-opt against one candidate KF.
+        Cross-camera when query_cam != resp_cam
+        (RelocalizationPartialOnCam, Tracking.cc:786-1033)."""
+        ncam = self.cfg.n_cameras
+        N = frame.n
+        g0 = resp_cam * N
+        res = frontend.match_bow_frame_kf(
+            jnp.asarray(frame.desc[query_cam]),
+            jnp.asarray(frame.nodes[query_cam]),
+            jnp.asarray(frame.angle[query_cam]),
+            jnp.asarray(frame.valid[query_cam]),
+            jnp.asarray(kf.desc[g0:g0 + N].astype(np.uint32)),
+            jnp.asarray(kf.node[g0:g0 + N]),
+            jnp.asarray(kf.angle[g0:g0 + N]),
+            jnp.asarray(kf.kp_valid[g0:g0 + N] & (kf.mp_idx[g0:g0 + N] >= 0)),
+            jnp.float32(self.cfg.matcher.th_low),
+            jnp.float32(self.cfg.matcher.nn_ratio_bow))
+        idx = np.asarray(res.idx)
+        rows_f = np.nonzero(idx >= 0)[0]
+        if len(rows_f) < 15:
+            return False
+        X = []
+        uv = []
+        keep = []
+        for rf in rows_f:
+            mid = int(kf.mp_idx[g0 + idx[rf]])
+            mp = self.map.points.get(mid)
+            if mp is None or mp.is_bad:
+                continue
+            X.append(mp.pos)
+            uv.append(frame.uv[query_cam][rf])
+            keep.append((rf, mid))
+        if len(X) < 15:
+            return False
+        Xj = jnp.asarray(np.asarray(X, np.float32))
+        uvj = jnp.asarray(np.asarray(uv, np.float32))
+        T_s, inl, cnt, ok = ransac.pnp_ransac(
+            self._next_key(), Xj, uvj, jnp.ones(len(X), bool),
+            self.rig.K[query_cam])
+        if not bool(ok):
+            return False
+        # T_s maps world -> query camera frame; rig pose T_cw = T_cs @ T_s
+        T_cw = np.asarray(self.rig.T_cs[query_cam]) @ np.asarray(T_s)
+        # polish with projection matching on the full local map
+        frame.T_cw = T_cw.astype(np.float64)
+        mids = self._local_map_points_from_all()
+        r = self._match_stage(frame, frame.T_cw, mids, radius=15.0,
+                              max_hamming=float(self.cfg.matcher.th_high))
+        if r is None or int(r.n_inliers) < 30:
+            return False
+        frame.T_cw = np.asarray(r.T_cw)
+        frame.mp_ids = self._slots_to_mids(r)
+        return True
+
+    def _local_map_points_from_all(self) -> np.ndarray:
+        mids = np.asarray(sorted(self.map.points.keys()), np.int64)
+        return mids
+
+    # ------------------------------------------------------------------
+    def composed_trajectory(self):
+        """[(fid, ts, T_cw)] with each frame pose re-composed against the
+        CURRENT (post-BA, post-loop) pose of its reference keyframe."""
+        out = []
+        for fid, ts, ref_kid, T_rel, T_abs in self.trajectory:
+            ref = self.map.keyframes.get(ref_kid)
+            T = (T_rel @ ref.T_cw) if ref is not None else T_abs
+            out.append((fid, ts, T))
+        return out
+
+
+def lie_apply_z(T: np.ndarray, p: np.ndarray) -> float:
+    return float(T[2, :3] @ p + T[2, 3])
