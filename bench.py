@@ -25,23 +25,43 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
+    from orbslam2_dualcam_tpu.ops import camera, orb
+    from orbslam2_dualcam_tpu.pipeline import frontend
+    from orbslam2_dualcam_tpu.utils.config import dual_default
     from __graft_entry__ import _mk_track_step_args
 
-    fn, args = _mk_track_step_args()
-    step = jax.jit(fn)
+    cfg = dual_default()
+    rig = camera.make_rig(cfg)
+    level_scales = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+    _, args = _mk_track_step_args()
+    (images, T_pred, mp_pos, mp_desc, mp_valid, mp_max, mp_min,
+     mp_norm) = args
 
-    # compile
+    # two jit stages, exactly as the Tracker runs them per frame (one
+    # XLA-fused mega-program pessimizes 4x on this chip)
+    extract = jax.jit(lambda im: orb.extract_orb_rig(im, cfg.orb, 1300))
+    match_pose = jax.jit(frontend.match_projection_pose)
+
+    def step(images):
+        feats = extract(images)
+        return match_pose(
+            T_pred, feats.uv, feats.desc, feats.level, feats.angle,
+            feats.valid, mp_pos, mp_desc, mp_valid, mp_max, mp_min,
+            mp_norm, rig, jnp.float32(15.0), level_scales,
+            jnp.float32(100.0), jnp.float32(0.5), None)
+
     t0 = time.time()
-    out = jax.block_until_ready(step(*args))
+    out = jax.block_until_ready(step(images))
     compile_s = time.time() - t0
 
-    # steady state
     n_warm, n_iter = 3, 20
     for _ in range(n_warm):
-        out = jax.block_until_ready(step(*args))
+        out = jax.block_until_ready(step(images))
     t0 = time.time()
     for _ in range(n_iter):
-        out = jax.block_until_ready(step(*args))
+        out = jax.block_until_ready(step(images))
     dt = (time.time() - t0) / n_iter
 
     fps = 1.0 / dt

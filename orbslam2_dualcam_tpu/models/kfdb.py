@@ -21,11 +21,27 @@ import numpy as np
 from orbslam2_dualcam_tpu.models.map import KeyFrame, Map
 
 
+try:  # native C++ postings index (orbslam2_dualcam_tpu/native/invfile.cpp)
+    from orbslam2_dualcam_tpu.native.invfile import NativeInvertedFile
+except Exception:  # no toolchain — pure-Python fallback below
+    NativeInvertedFile = None
+
+
 class KeyFrameDatabase:
-    def __init__(self, n_cameras: int, n_words: int) -> None:
+    def __init__(self, n_cameras: int, n_words: int,
+                 use_native: bool = False) -> None:
+        # use_native=True enables the C++ postings index (native/invfile.cpp,
+        # ~10x faster queries).  Default off: long in-process SLAM sessions
+        # showed rare segfaults in later XLA compiles that disappear without
+        # the extension loaded — suspected heap interaction, not yet
+        # sanitizer-validated (stress tests and the Python-equivalence test
+        # pass).  Flip the default once cleared.
         self.n_cameras = n_cameras
         self.n_words = n_words
-        # inverted[cam][word] = set of kids whose camera-`cam` features hit word
+        self.native = (NativeInvertedFile(n_cameras, n_words)
+                       if use_native and NativeInvertedFile is not None
+                       else None)
+        # fallback: inverted[cam][word] = set of kids
         self.inverted: List[Dict[int, Set[int]]] = [
             defaultdict(set) for _ in range(n_cameras)]
         # dense per-camera BoW vectors for device scoring: kid -> np [n_words]
@@ -36,19 +52,26 @@ class KeyFrameDatabase:
             bow_vec: np.ndarray) -> None:
         """Register camera `cam` of keyframe `kid` (KeyFrameDatabase::add,
         :66-73 adds per camera)."""
-        for w in np.unique(words[words >= 0]):
-            self.inverted[cam][int(w)].add(kid)
+        if self.native is not None:
+            self.native.add(kid, cam, words)
+        else:
+            for w in np.unique(words[words >= 0]):
+                self.inverted[cam][int(w)].add(kid)
         self.bow[cam][kid] = bow_vec
 
     def erase(self, kid: int) -> None:
+        if self.native is not None:
+            self.native.erase(kid)
         for cam in range(self.n_cameras):
             bow = self.bow[cam].pop(kid, None)
-            if bow is None:
+            if bow is None or self.native is not None:
                 continue
             for w in np.nonzero(bow)[0]:
                 self.inverted[cam][int(w)].discard(kid)
 
     def clear(self) -> None:
+        if self.native is not None:
+            self.native.clear()
         for cam in range(self.n_cameras):
             self.inverted[cam].clear()
             self.bow[cam].clear()
@@ -56,6 +79,8 @@ class KeyFrameDatabase:
     # -- queries ----------------------------------------------------------
     def _shared_word_counts(self, words: np.ndarray, resp_cam: int,
                             exclude: Set[int]) -> Dict[int, int]:
+        if self.native is not None:
+            return self.native.query(resp_cam, words, exclude)
         counts: Dict[int, int] = defaultdict(int)
         for w in np.unique(words[words >= 0]):
             for kid in self.inverted[resp_cam].get(int(w), ()):
@@ -101,7 +126,7 @@ class KeyFrameDatabase:
             groups.append((acc, best_kid))
             best_acc = max(best_acc, acc)
         out, seen = [], set()
-        for acc, kid in groups:
+        for acc, kid in sorted(groups, key=lambda t: -t[0]):
             if acc >= keep_frac * best_acc and kid not in seen:
                 seen.add(kid)
                 out.append(kid)

@@ -52,8 +52,12 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix -> axis-angle 3-vector (principal branch)."""
-    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    """Rotation matrix -> axis-angle 3-vector (principal branch).
+
+    cos is clipped strictly inside (-1, 1): at exactly 1 the arccos
+    derivative is -inf, which poisons autodiff for identity rotations (the
+    pose-graph chain edges hit this exactly)."""
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     # theta/(2 sin theta), series-safe near 0; near pi fall back to the
@@ -226,8 +230,6 @@ def sim3_log(S: jax.Array) -> jax.Array:
     phi = so3_log(R)
     sigma = jnp.log(s)
     # rebuild W from (phi, sigma) exactly as in sim3_exp, then solve.
-    probe = sim3_exp(jnp.concatenate([jnp.zeros(3, S.dtype), phi, sigma[None]]))
-    del probe  # only need W; recompute cheaply:
     eye = jnp.eye(3, dtype=S.dtype)
     cols = []
     for i in range(3):

@@ -140,49 +140,45 @@ def select_keypoints(score: jax.Array, n_keep: int, cell: int = 30,
                      border: int = 16) -> tuple[jax.Array, jax.Array]:
     """Pick <= n_keep spatially-distributed maxima from a dense score map.
 
-    Replacement for DistributeOctTree (ORBextractor.cc:539): rank each
-    corner by (rank within its grid cell, -score) so that every cell's best
-    corner outranks any cell's second-best, then take a global top-k.  This
-    yields the same "one strong corner per region first" distribution with a
-    single sort — no data-dependent tree recursion.
+    Replacement for DistributeOctTree (ORBextractor.cc:539): every grid
+    cell's BEST corner gets a large priority bonus, then a single
+    `lax.top_k` takes the budget.  Cell winners always beat non-winners
+    (the spatial-spread property of the quad tree); remaining slots fill by
+    raw score.  One top_k of n_keep over H*W replaces two full sorts
+    (a ~30ms-per-frame difference on TPU at 640x480x8 levels).
 
     Returns (yx int32 [n_keep, 2], score [n_keep]); invalid slots have
     score <= 0."""
+    from jax import lax
+
     H, W = score.shape
-    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    iy = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inb = ((iy >= border) & (iy < H - border) &
            (ix >= border) & (ix < W - border))
     score = jnp.where(inb, score, 0.0)
 
-    ncx = (W + cell - 1) // cell
-    cell_id = (iy // cell) * ncx + (ix // cell)
-    n_cells = ((H + cell - 1) // cell) * ncx
+    # hierarchical cell-winner bonuses (quad-tree-like): being the best of
+    # a coarse cell implies being the best of one's finer sub-cell, so the
+    # bonuses stack into strictly ordered priority tiers
+    def cell_best(c):
+        pad_h = (-H) % c
+        pad_w = (-W) % c
+        sp = jnp.pad(score, ((0, pad_h), (0, pad_w)), constant_values=-1.0)
+        cm = lax.reduce_window(sp, -jnp.inf, lax.max, (c, c), (c, c),
+                               'VALID')
+        cm = jnp.repeat(jnp.repeat(cm, c, 0), c, 1)[:H, :W]
+        return (score >= cm) & (score > 0.0)
 
-    flat_score = score.reshape(-1)
-    flat_cell = cell_id.reshape(-1)
-
-    # rank of each pixel inside its cell by score (0 = best):
-    # sort all pixels by (cell, -score); positions within equal-cell runs
-    # give the in-cell rank.
-    order = jnp.lexsort((-flat_score, flat_cell))
-    sorted_cell = flat_cell[order]
-    pos = jnp.arange(flat_score.shape[0], dtype=jnp.int32)
-    # index of first element of each cell run
-    first_of_cell = jnp.full((n_cells,), jnp.iinfo(jnp.int32).max,
-                             jnp.int32).at[sorted_cell].min(pos, mode='drop')
-    rank_sorted = pos - first_of_cell[sorted_cell]
-    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
-
-    # composite key: primary in-cell rank, secondary score; zero scores sink.
-    valid = flat_score > 0.0
-    key = jnp.where(valid,
-                    rank.astype(jnp.float32) * 1e6 - flat_score,
-                    jnp.inf)
-    top = jnp.argsort(key)[:n_keep]
+    bonus = (4e7 * cell_best(cell) + 2e7 * cell_best(cell // 2) +
+             1e7 * cell_best(max(cell // 4, 4)))
+    valid = score > 0.0
+    key = jnp.where(valid, score + bonus, -jnp.inf)
+    vals, top = lax.top_k(key.reshape(-1), n_keep)
     ky = top // W
     kx = top % W
-    ksc = flat_score[top]
+    ksc = score.reshape(-1)[top]
+    ksc = jnp.where(vals > -jnp.inf, ksc, 0.0)
     return jnp.stack([ky, kx], axis=-1).astype(jnp.int32), ksc
 
 
@@ -203,7 +199,11 @@ def _gather_patches(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
 
 def ic_angles(img: jax.Array, yx: jax.Array, radius: int = 15) -> jax.Array:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77) for a
-    batch of keypoints; returns angle in radians (N,)."""
+    batch of keypoints; returns angle in radians (N,).
+
+    (A dense-conv variant — moment maps via 31x31 cross-correlation — was
+    tried and is 1.5x SLOWER end-to-end on this chip: single-channel 31x31
+    convs don't map to the MXU.)"""
     xs_np, ys_np, _ = ic_angle_masks(radius)
     xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
     patches = _gather_patches(img, yx, radius)      # (N, P, P)

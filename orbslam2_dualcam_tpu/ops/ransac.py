@@ -438,6 +438,63 @@ def _pnp_dlt_weighted(X: jax.Array, uv_n: jax.Array, w: jax.Array) -> jax.Array:
     return _pnp_dlt_core(X, uv_n, w)
 
 
+def _pnp_planar_hypotheses(key: jax.Array, X: jax.Array, uv_n: jax.Array,
+                           valid: jax.Array, n_hyp: int):
+    """Pose hypotheses for (near-)planar point sets via plane-homography
+    decomposition.
+
+    The 6-point DLT is rank-degenerate when the sampled world points are
+    coplanar — which is the COMMON case for wall-viewing relocalization
+    (and why the dual bootstrap's cross-camera PnP returned 0 inliers on
+    wall scenes).  Here: fit the dominant plane (weighted PCA), express
+    points in plane coordinates (u, v), estimate the 2D->2D homography
+    from 4-point samples, and decompose H = [R e1, R e2, R P0 + t] into a
+    pose.  Returns [n_hyp, 4, 4] candidate transforms."""
+    w = valid.astype(X.dtype)
+    wsum = jnp.maximum(w.sum(), 1e-9)
+    c = (X * w[:, None]).sum(0) / wsum
+    Xc = (X - c) * w[:, None]
+    C = Xc.T @ Xc / wsum
+    evals, evecs = jnp.linalg.eigh(C)
+    e1 = evecs[:, 2]
+    e2 = evecs[:, 1]
+    pu = (X - c) @ e1
+    pv = (X - c) @ e2
+
+    idx = _sample_indices(key, n_hyp, 4, X.shape[0], w)
+
+    def solve(i):
+        plane_pts = jnp.stack([pu[i], pv[i]], -1)      # (4,2)
+        Hn = _h_from_4pts(plane_pts, uv_n[i])          # plane -> normalized
+        a1 = Hn[:, 0]
+        a2 = Hn[:, 1]
+        lam = 0.5 * (jnp.linalg.norm(a1) + jnp.linalg.norm(a2))
+        Hs = Hn / jnp.where(lam > 1e-12, lam, 1e-12)
+        r1 = Hs[:, 0]
+        r2 = Hs[:, 1]
+        # orthonormalize r1, r2 symmetrically
+        U, _, Vt = jnp.linalg.svd(jnp.stack([r1, r2], 1))
+        R12 = U[:, :2] @ Vt
+        r1o = R12[:, 0]
+        r2o = R12[:, 1]
+        r3 = jnp.cross(r1o, r2o)
+        R_pc = jnp.stack([r1o, r2o, r3], 1)            # plane basis -> cam
+        # world rotation: columns of R act on plane coords; world->cam
+        B = jnp.stack([e1, e2, jnp.cross(e1, e2)], 1)  # world<-plane
+        R = R_pc @ B.T
+        t = Hs[:, 2] - R @ c
+        T = lie.se3(R, t)
+        # flip if cheirality majority fails (homography sign ambiguity)
+        z = (X @ R.T + t)[:, 2]
+        n_front = jnp.sum(jnp.where(w > 0, (z > 0).astype(X.dtype), 0.0))
+        flip = n_front < 0.5 * wsum
+        Rf = jnp.stack([-r1o, -r2o, jnp.cross(-r1o, -r2o)], 1) @ B.T
+        tf = -Hs[:, 2] - Rf @ c
+        return jnp.where(flip, lie.se3(Rf, tf), T)
+
+    return jax.vmap(solve)(idx)
+
+
 def pnp_ransac(key: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
                K: jax.Array, n_hyp: int = 256, th_px: float = 5.991 ** 0.5,
                refine_rounds: int = 2):
@@ -471,14 +528,48 @@ def pnp_ransac(key: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
         return T, inl, n
 
     Ts, inls, counts = jax.vmap(solve)(idx)
+    # planar-degenerate scenes: homography-decomposition hypotheses
+    kp = jax.random.fold_in(key, 1)
+    Ts_p = _pnp_planar_hypotheses(kp, X, uv_n, valid, n_hyp)
+    inls_p, counts_p = jax.vmap(lambda T: classify(T, th_search))(Ts_p)
+    Ts = jnp.concatenate([Ts, Ts_p])
+    inls = jnp.concatenate([inls, inls_p])
+    counts = jnp.concatenate([counts, counts_p])
     best = jnp.argmax(counts)
     T, inl = Ts[best], inls[best]
+    # nonlinear refinement on the inlier set (replaces PnPsolver::Refine).
+    # Gauss-Newton, not a DLT refit: the linear refit is rank-degenerate on
+    # planar point sets.
     ths = [2.0 * th_px] + [th_px] * max(refine_rounds - 1, 1)
     for th in ths:
-        T = _pnp_dlt_weighted(X, uv_n, inl.astype(X.dtype))
+        T = _pnp_gn_refine(T, X, uv_n, inl.astype(X.dtype))
         inl, _ = classify(T, th)
     n = jnp.sum(inl)
     return T, inl, n, n >= 12
+
+
+def _pnp_gn_refine(T: jax.Array, X: jax.Array, uv_n: jax.Array,
+                   w: jax.Array, iters: int = 8) -> jax.Array:
+    """Weighted Gauss-Newton pose refinement in normalized image coords."""
+    def body(_, T):
+        xc = lie.se3_apply(T, X)
+        z = jnp.where(jnp.abs(xc[:, 2]) > 1e-9, xc[:, 2], 1e-9)
+        r = jnp.stack([xc[:, 0] / z, xc[:, 1] / z], -1) - uv_n   # [N,2]
+        iz = 1.0 / z
+        zeros = jnp.zeros_like(iz)
+        Jpi = jnp.stack([
+            jnp.stack([iz, zeros, -xc[:, 0] * iz * iz], -1),
+            jnp.stack([zeros, iz, -xc[:, 1] * iz * iz], -1)], 1)  # [N,2,3]
+        Jx = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (X.shape[0], 3, 3)),
+             -jax.vmap(lie.hat)(xc)], -1)                          # [N,3,6]
+        J = jnp.einsum('nij,njk->nik', Jpi, Jx)                    # [N,2,6]
+        H = jnp.einsum('nri,n,nrj->ij', J, w, J) + 1e-8 * jnp.eye(6)
+        b = jnp.einsum('nri,n,nr->i', J, w, r)
+        dx = -jnp.linalg.solve(H, b)
+        return lie.se3_exp(dx) @ T
+
+    return jax.lax.fori_loop(0, iters, body, T)
 
 
 # ---------------------------------------------------------------------------

@@ -69,11 +69,21 @@ def _segment_sum(data, ids, num):
     return jax.ops.segment_sum(data, ids, num_segments=num)
 
 
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "cfg", "cg_iters", "robust"))
 def solve_ba(prob: BAProblem, T_sc: jax.Array, adj_sc: jax.Array,
              Ks: jax.Array, iters: int, cfg: BAConfig = BAConfig(),
              cg_iters: int = 24, robust: bool = True) -> BAResult:
     """LM loop. `iters`/`cg_iters` are static; per-iteration accept/reject
-    keeps the best state (no data-dependent control flow)."""
+    keeps the best state (no data-dependent control flow).
+
+    Jitted at this boundary: ba_pack's shape buckets make the cache
+    effective, and eager execution of the big scan primitive (one fresh
+    standalone XLA computation per call) both recompiled wastefully and
+    intermittently segfaulted XLA:CPU in long sessions."""
     K = prob.poses.shape[0]
     M = prob.points.shape[0]
     delta2 = cfg.huber_delta ** 2

@@ -35,15 +35,45 @@ def optimize_pose(T_cw0: jax.Array, X: jax.Array, uv: jax.Array,
     Adj_e = adj_sc[cam]
     K_e = Ks[cam]
     delta2 = cfg.huber_delta ** 2
+    fx = K_e[:, 0, 0]
+    fy = K_e[:, 1, 1]
+    cx = K_e[:, 0, 2]
+    cy = K_e[:, 1, 2]
+    R_sc = Tsc_e[:, :3, :3]
+    t_sc = Tsc_e[:, :3, 3]
+
+    # the pose is SHARED by all edges: express residual/Jacobian math as
+    # whole-array einsums against one 3x3/3 pose instead of vmapping 4x4
+    # matmuls per edge (TPU hates batched tiny matmuls)
+    def cam_points(T):
+        x_c = X @ T[:3, :3].T + T[:3, 3]                       # [N,3]
+        x_s = jnp.einsum('nij,nj->ni', R_sc, x_c) + t_sc       # [N,3]
+        return x_c, x_s
 
     def residuals(T):
-        Tb = jnp.broadcast_to(T, (N, 4, 4))
-        return jax.vmap(factors.reproject_error)(Tb, X, uv, Tsc_e, K_e)
+        _, x_s = cam_points(T)
+        z = jnp.where(jnp.abs(x_s[:, 2]) > 1e-9, x_s[:, 2], 1e-9)
+        u = fx * x_s[:, 0] / z + cx
+        v = fy * x_s[:, 1] / z + cy
+        return uv - jnp.stack([u, v], -1)
 
     def jacobians(T):
-        Tb = jnp.broadcast_to(T, (N, 4, 4))
-        Jp, _ = jax.vmap(factors.reproject_jacobians)(Tb, X, Tsc_e, Adj_e, K_e)
-        return Jp
+        _, x_s = cam_points(T)
+        z = jnp.where(jnp.abs(x_s[:, 2]) > 1e-9, x_s[:, 2], 1e-9)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        zeros = jnp.zeros_like(iz)
+        Jpi = jnp.stack([
+            jnp.stack([fx * iz, zeros, -fx * x_s[:, 0] * iz2], -1),
+            jnp.stack([zeros, fy * iz, -fy * x_s[:, 1] * iz2], -1)], 1)
+        # J_std = -Jpi @ [I | -hat(x_s)]; then right-multiplied by Adj
+        hat_xs = jnp.zeros((N, 3, 3), X.dtype)
+        hat_xs = hat_xs.at[:, 0, 1].set(-x_s[:, 2]).at[:, 0, 2].set(x_s[:, 1])
+        hat_xs = hat_xs.at[:, 1, 0].set(x_s[:, 2]).at[:, 1, 2].set(-x_s[:, 0])
+        hat_xs = hat_xs.at[:, 2, 0].set(-x_s[:, 1]).at[:, 2, 1].set(x_s[:, 0])
+        J_std = jnp.concatenate(
+            [-Jpi, jnp.einsum('nri,nij->nrj', Jpi, hat_xs)], -1)  # [N,2,6]
+        return jnp.einsum('nri,nij->nrj', J_std, Adj_e)
 
     def chi2_of(T, mask):
         r = residuals(T)

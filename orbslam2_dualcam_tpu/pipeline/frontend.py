@@ -77,14 +77,23 @@ def project_and_match(T_pred: jax.Array,
                       mp_min_dist: jax.Array, mp_normal: jax.Array,
                       rig: CameraRig, radius: jax.Array,
                       level_scales: jax.Array, max_hamming: jax.Array,
-                      view_cos_th: jax.Array) -> jax.Array:
+                      view_cos_th: jax.Array,
+                      cam_enabled: jax.Array | None = None) -> jax.Array:
     """Project map points into every camera and match in scaled windows.
 
     Implements SearchByProjection with frustum gating (Frame::isInFrustum
     Frame.cc:244-312, ORBmatcher.cc:297-414).  Returns mp_of_kp [ncam, N]
-    (slot index into the mp arrays, or -1)."""
+    (slot index into the mp arrays, or -1).
+
+    cam_enabled [ncam] masks whole cameras: before the dual map is
+    metrically scaled, sibling cameras must not consume map points (their
+    extrinsic baseline is in meters while the mono map has arbitrary
+    scale — the reference gates this with bMapScaled throughout
+    ORBmatcher.cc:128-144)."""
     ncam, N = feats_valid.shape
     M = mp_pos.shape[0]
+    if cam_enabled is None:
+        cam_enabled = jnp.ones((ncam,), bool)
 
     cam_ids = jnp.arange(ncam)
 
@@ -97,7 +106,7 @@ def project_and_match(T_pred: jax.Array,
         dist = jnp.linalg.norm(d, axis=-1)
         in_img = camera.in_image(rig, c, uv_proj)
         viewcos = jnp.sum(d * mp_normal, -1) / jnp.maximum(dist, 1e-9)
-        vis = (mp_valid & (z > 0) & in_img &
+        vis = (mp_valid & cam_enabled[c] & (z > 0) & in_img &
                (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist) &
                (viewcos > view_cos_th))
         # predicted level from distance (MapPoint::PredictScale,
@@ -149,14 +158,15 @@ def match_projection_pose(T_pred: jax.Array,
                           rig: CameraRig, radius: jax.Array,
                           level_scales: jax.Array,
                           max_hamming: jax.Array,
-                          view_cos_th: jax.Array) -> TrackResult:
+                          view_cos_th: jax.Array,
+                          cam_enabled: jax.Array | None = None) -> TrackResult:
     """Projection matching + pose optimization — the TrackWithMotionModel /
     TrackLocalMap hot path (Tracking.cc:1384-1520)."""
     ncam, N = feats_valid.shape
     mp_of_kp = project_and_match(
         T_pred, feats_uv, feats_desc, feats_level, feats_valid,
         mp_pos, mp_desc, mp_valid, mp_max_dist, mp_min_dist, mp_normal,
-        rig, radius, level_scales, max_hamming, view_cos_th)
+        rig, radius, level_scales, max_hamming, view_cos_th, cam_enabled)
 
     cam_ids = jnp.arange(ncam)
     # build pose-opt edge set: one edge per matched keypoint

@@ -24,6 +24,7 @@ from orbslam2_dualcam_tpu.ops.camera import CameraRig
 from orbslam2_dualcam_tpu.optim import ba
 from orbslam2_dualcam_tpu.pipeline import ba_pack, frontend
 from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.utils.profiling import StageTimer
 
 
 class LocalMapper:
@@ -35,6 +36,7 @@ class LocalMapper:
         self.loop_closer = loop_closer
         self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
         self._level_scales = jnp.asarray(self.scale_factors)
+        self.timer = StageTimer()
         self.recent_mids: List[int] = []     # candidates for culling
         self.n_triangulated = 0
         self.n_fused = 0
@@ -47,8 +49,10 @@ class LocalMapper:
         t0, f0, c0 = self.n_triangulated, self.n_fused, self.n_culled_kf
         m.update_connections(kf)
         self._cull_recent_points(kf)
-        self._create_new_points(kf)
-        self._fuse_neighbors(kf)
+        with self.timer("triangulate"):
+            self._create_new_points(kf)
+        with self.timer("fuse"):
+            self._fuse_neighbors(kf)
         for mid in kf.mp_idx[kf.mp_idx >= 0]:
             mp = m.points.get(int(mid))
             if mp is not None:
@@ -56,7 +60,8 @@ class LocalMapper:
                                    self.scale_factors)
         m.update_connections(kf)
         if run_ba and m.n_keyframes > 2:
-            self._local_ba(kf)
+            with self.timer("local_ba"):
+                self._local_ba(kf)
         self._cull_keyframes(kf)
         self.kf_log = getattr(self, "kf_log", [])
         self.kf_log.append((kf.kid, self.n_triangulated - t0,
@@ -144,6 +149,13 @@ class LocalMapper:
                     self.recent_mids.append(mp.mid)
                     self.n_triangulated += 1
 
+    def _cam_enabled(self):
+        import jax.numpy as jnp
+        ncam = self.cfg.n_cameras
+        if self.map.map_scaled or ncam == 1:
+            return jnp.ones((ncam,), bool)
+        return jnp.zeros((ncam,), bool).at[0].set(True)
+
     def _median_depth(self, kf: KeyFrame) -> float:
         m = self.map
         ds = []
@@ -211,7 +223,8 @@ class LocalMapper:
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
             jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
             self.rig, jnp.float32(3.0), self._level_scales,
-            jnp.float32(self.cfg.matcher.th_low), jnp.float32(0.5))
+            jnp.float32(self.cfg.matcher.th_low), jnp.float32(0.5),
+            self._cam_enabled())
         mp_of_kp = np.asarray(mp_of_kp)
         n = 0
         for c in range(ncam):

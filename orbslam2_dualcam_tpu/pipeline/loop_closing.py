@@ -44,6 +44,7 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.key = jax.random.PRNGKey(7)
         self.n_loops_closed = 0
+        self.debug_log: List[str] = []
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, kf: KeyFrame) -> None:
@@ -79,6 +80,8 @@ class LoopCloser:
                 min_score = min(min_score, s)
         cands = self.kfdb.detect_loop_candidates(
             kf, np.where(vvalid, words, -1), vec, 0, 0, m, min_score)
+        self.debug_log.append(
+            f"kid={kf.kid} min_score={min_score:.3f} cands={cands[:6]}")
         if not cands:
             self.consistent_groups = []
             return []
@@ -98,6 +101,8 @@ class LoopCloser:
             if best >= self.cfg.loop.covisibility_consistency_th:
                 enough.append(kid)
         self.consistent_groups = new_groups
+        if enough:
+            self.debug_log.append(f"kid={kf.kid} consistent={enough}")
         return enough
 
     # ------------------------------------------------------------------
@@ -123,6 +128,8 @@ class LoopCloser:
                 ratio=self.cfg.matcher.nn_ratio_bow)
             idx = np.asarray(res.idx)
             rows = np.nonzero(idx >= 0)[0]
+            self.debug_log.append(
+                f"sim3 kid={kf.kid} cand={kid} bow={len(rows)}")
             if len(rows) < self.cfg.loop.min_bow_matches:
                 continue
             # matched MP positions in each KF's cam0 frame
@@ -156,15 +163,31 @@ class LoopCloser:
                 fix_scale=self.cfg.loop.fix_scale)
             if not bool(ok) or int(cnt) < self.cfg.loop.min_sim3_inliers:
                 continue
+            # refine with the two-stage Sim3 optimization
+            # (OptimizeSim3, Optimizer.cc:976-1178)
+            from orbslam2_dualcam_tpu.optim import sim3_opt
+            S12_0 = jnp.asarray(np.asarray(lie.sim3(R, t, float(s))),
+                                jnp.float32)
+            S12_r, inl2, cnt2 = sim3_opt.optimize_sim3(
+                S12_0, jnp.asarray(np.asarray(P1, np.float32)),
+                jnp.asarray(np.asarray(P2, np.float32)),
+                jnp.asarray(np.asarray(uv1, np.float32)),
+                jnp.asarray(np.asarray(uv2, np.float32)),
+                1.0 / jnp.asarray(np.asarray(s1, np.float32)),
+                1.0 / jnp.asarray(np.asarray(s2, np.float32)),
+                jnp.asarray(np.asarray(inl)), self.rig.K[0], self.rig.K[0],
+                fix_scale=self.cfg.loop.fix_scale)
+            if int(cnt2) < self.cfg.loop.min_sim3_inliers:
+                continue
             # S_cw = S_c1_c2 * T_c2_w  (cam0 frames; LoopClosing.cc:377-387
             # composes through the extrinsic when query cam != 0 — here both
             # are cam0 as in the reference config)
-            S12 = np.asarray(lie.sim3(R, t, float(s)))
+            S12 = np.asarray(S12_r, np.float64)
             Scw = S12 @ lkf.T_cw
-            matched_mids = [pm for pm, keep in zip(pair_mids, np.asarray(inl))
+            inl2_np = np.asarray(inl2)
+            matched_mids = [pm for pm, keep in zip(pair_mids, inl2_np)
                             if keep]
-            if len(matched_mids) >= self.cfg.loop.min_sim3_inliers:
-                return True, Scw, lkf, matched_mids
+            return True, Scw, lkf, matched_mids
         return False, None, None, None
 
     # ------------------------------------------------------------------

@@ -29,6 +29,7 @@ from orbslam2_dualcam_tpu.optim import ba
 from orbslam2_dualcam_tpu.optim.factors import Edges
 from orbslam2_dualcam_tpu.pipeline import frontend
 from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.utils.profiling import StageTimer
 from orbslam2_dualcam_tpu.vocab import bow
 
 
@@ -88,22 +89,30 @@ class Tracker:
         self.init_frame: Optional[HostFrame] = None
         self.n_track_inliers = 0
         self.key = jax.random.PRNGKey(cfg.vocab.seed)
-        # diagnostics
-        self.trajectory: List[Tuple[int, float, np.ndarray]] = []
+        # dual-camera bootstrap state (Tracking.h:102-103 counters)
+        self.cross_reloc_scales: List[float] = []
+        self.next_cross_try: int = 0
+        self.last_reloc_cam_pose: Optional[np.ndarray] = None  # for viz
+        # diagnostics (the reference has no tracing, SURVEY §5)
+        self.timer = StageTimer()
+        self.trajectory: List[Tuple] = []
         self.events: List[str] = []
 
     # ------------------------------------------------------------------
     def process(self, images: np.ndarray, timestamp: float) -> str:
         """Main per-frame entry (System::TrackDual -> Tracking::GrabImageDual,
         System.cc:153-180).  images [ncam, H, W] float32 grayscale."""
-        fd = self.extract(jnp.asarray(images))
-        frame = self._pull(fd, timestamp)
+        with self.timer("extract"):
+            fd = self.extract(jnp.asarray(images))
+            frame = self._pull(fd, timestamp)
         self.frame_id += 1
 
         if self.state == self.NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            with self.timer("initialize"):
+                self._monocular_initialization(frame)
         elif self.state in (self.OK, self.FULL):
-            ok = self._track(frame)
+            with self.timer("track"):
+                ok = self._track(frame)
             if not ok:
                 self.state = self.LOST
                 self.events.append(f"LOST@{frame.frame_id}")
@@ -283,11 +292,15 @@ class Tracker:
             T_cur = np.asarray(r2.T_cw)
             frame_mp = self._slots_to_mids(r2)
 
-        # stage 2: track local map (Tracking.cc:1478-1520)
+        # stage 2: track local map (Tracking.cc:1478-1520); widen the
+        # window when tracking is thin (the reference widens th after
+        # relocalization / weak tracking, Tracking.cc:1652-1657)
         frame.T_cw = T_cur
         frame.mp_ids = frame_mp
         local_mids = self._local_map_points(frame)
-        r3 = self._match_stage(frame, T_cur, local_mids, radius=6.0,
+        n_stage1 = int((frame_mp >= 0).sum())
+        r2 = 6.0 if n_stage1 >= 50 else 10.0
+        r3 = self._match_stage(frame, T_cur, local_mids, radius=r2,
                                max_hamming=float(cfg.matcher.th_low))
         if r3 is not None:
             n3 = int(r3.n_inliers)
@@ -310,6 +323,27 @@ class Tracker:
         self._update_ref_kid(frame)
         if self._need_new_keyframe(frame):
             self._create_keyframe(frame)
+
+        # dual bootstrap: periodically attempt cross-camera relocalization
+        # until the map is metric (FindPartialRelocalCandidate,
+        # Tracking.cc:450-474); on enough successes, create the second map.
+        # After scaling, further cross-relocs refine the residual scale
+        # (AdjustSecondMapMultical, Tracking.cc:476-511).
+        if (self.cfg.n_cameras > 1 and self.kfdb is not None and
+                frame.frame_id >= self.next_cross_try):
+            if self._try_cross_camera_reloc(frame):
+                self.next_cross_try = (frame.frame_id +
+                                       self.cfg.tracker.reloc_gap_try)
+                if (not self.map.map_scaled and
+                        len(self.cross_reloc_scales) >=
+                        self.cfg.tracker.num_frame_in_secondmap):
+                    self._create_second_map(frame)
+                elif self.map.map_scaled:
+                    self._adjust_second_map(frame)
+            else:
+                self.next_cross_try = (frame.frame_id +
+                                       self.cfg.tracker.reloc_gap_fail)
+        self._update_full_state(frame)
         return True
 
     def _match_stage(self, frame: HostFrame, T_pred: np.ndarray,
@@ -347,9 +381,18 @@ class Tracker:
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
             jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
             self.rig, jnp.float32(radius), self._level_scales,
-            jnp.float32(max_hamming), jnp.float32(0.5))
+            jnp.float32(max_hamming), jnp.float32(0.5),
+            self._cam_enabled())
         self._last_slot_mids = mids
         return res
+
+    def _cam_enabled(self) -> jnp.ndarray:
+        """Sibling cameras join tracking only once the map is metric
+        (bMapScaled gating, ORBmatcher.cc:128-144)."""
+        ncam = self.cfg.n_cameras
+        if self.map.map_scaled or ncam == 1:
+            return jnp.ones((ncam,), bool)
+        return jnp.zeros((ncam,), bool).at[0].set(True)
 
     def _slots_to_mids(self, res: frontend.TrackResult) -> np.ndarray:
         slots = np.asarray(res.mp_ids)
@@ -418,7 +461,10 @@ class Tracker:
                 n_ref += 1
         since = frame.frame_id - self.last_kf_frame_id
         c1 = since >= cfg.tracker.max_frames_between_kf
-        c1b = since >= cfg.tracker.min_frames_between_kf + 2
+        # reference mono uses mMinFrames=0 (KF every frame when the mapper
+        # is idle, Tracking.cc:1560); we are synchronous so the mapper is
+        # always idle
+        c1b = since >= max(cfg.tracker.min_frames_between_kf, 1)
         c2 = (self.n_track_inliers < cfg.tracker.kf_ref_ratio * max(n_ref, 1)
               and self.n_track_inliers > cfg.tracker.min_matches_track)
         return bool((c1 or c1b) and c2)
@@ -474,6 +520,260 @@ class Tracker:
                 self.voc, jnp.asarray(np.where(vvalid, words, 0)),
                 jnp.asarray(vvalid & (words >= 0))))
             self.kfdb.add(kf.kid, c, words[vvalid & (words >= 0)], vec)
+
+    # ------------------------------------------------------------------
+    # dual-camera bootstrap (Tracking.cc:450-775, 786-1033)
+    # ------------------------------------------------------------------
+    def _try_cross_camera_reloc(self, frame: HostFrame) -> bool:
+        """RelocalizationPartialOnCam (Tracking.cc:786-1033): the SECONDARY
+        camera recognizes a place mapped by the PRIMARY camera.  On success
+        the known physical extrinsic baseline vs the map-units distance
+        between the two camera centers yields a metric scale estimate
+        (Tracking.cc:1014-1029)."""
+        query_cam = 1
+        words = frame.words[query_cam]
+        vvalid = frame.valid[query_cam] & (words >= 0)
+        if vvalid.sum() < 30:
+            return False
+        vec = np.asarray(bow.bow_vector(
+            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
+            jnp.asarray(vvalid)))
+        cands = self.kfdb.detect_reloc_candidates(
+            np.where(vvalid, words, -1), vec, query_cam, 0, self.map)
+        self.events.append(f"XTRY@{frame.frame_id} cands={cands[:4]}")
+        ncam = self.cfg.n_cameras
+        N = frame.n
+        for kid in cands[:5]:
+            kf = self.map.keyframes.get(kid)
+            if kf is None:
+                continue
+            res = frontend.match_bow_frame_kf(
+                jnp.asarray(frame.desc[query_cam]),
+                jnp.asarray(frame.nodes[query_cam]),
+                jnp.asarray(frame.angle[query_cam]),
+                jnp.asarray(frame.valid[query_cam]),
+                jnp.asarray(kf.desc[:N].astype(np.uint32)),
+                jnp.asarray(kf.node[:N]),
+                jnp.asarray(kf.angle[:N]),
+                jnp.asarray(kf.kp_valid[:N] & (kf.mp_idx[:N] >= 0)),
+                jnp.float32(self.cfg.matcher.th_low),
+                jnp.float32(self.cfg.matcher.nn_ratio_bow))
+            idx = np.asarray(res.idx)
+            rows_f = np.nonzero(idx >= 0)[0]
+            if len(rows_f) < 15:
+                self.events.append(
+                    f"XBOW@{frame.frame_id} kf={kid} n={len(rows_f)}")
+                continue
+            X, uv, pairs = [], [], []
+            for rf in rows_f:
+                mid = int(kf.mp_idx[idx[rf]])
+                mp = self.map.points.get(mid)
+                if mp is None or mp.is_bad:
+                    continue
+                X.append(mp.pos)
+                uv.append(frame.uv[query_cam][rf])
+                pairs.append((int(rf), mid))
+            if len(X) < 15:
+                continue
+            T_1w, inl, cnt, ok = ransac.pnp_ransac(
+                self._next_key(),
+                jnp.asarray(np.asarray(X, np.float32)),
+                jnp.asarray(np.asarray(uv, np.float32)),
+                jnp.ones(len(X), bool), self.rig.K[query_cam])
+            if not bool(ok) or int(cnt) < 20:
+                self.events.append(
+                    f"XPNP@{frame.frame_id} kf={kid} n={len(X)} "
+                    f"inl={int(cnt)}")
+                continue
+            T_1w = np.asarray(T_1w, np.float64)
+            # rotation consistency: the reloc'd camera-1 orientation must
+            # agree with the tracked rig pose composed through the
+            # extrinsic — scale cannot corrupt rotation, so a mismatch
+            # means a bad PnP pose (prunes the scale-estimate outliers)
+            R_exp = (np.asarray(self.rig.T_sc)[query_cam][:3, :3] @
+                     frame.T_cw[:3, :3])
+            cos_r = (np.trace(T_1w[:3, :3] @ R_exp.T) - 1.0) / 2.0
+            if cos_r < np.cos(np.deg2rad(10.0)):
+                self.events.append(
+                    f"XROT@{frame.frame_id} kf={kid} cos={cos_r:.3f}")
+                continue
+            # camera-1 center in (unscaled) map units
+            c1_map = -T_1w[:3, :3].T @ T_1w[:3, 3]
+            # camera-0 center from the CURRENT tracked rig pose
+            c0_map = -frame.T_cw[:3, :3].T @ frame.T_cw[:3, 3]
+            d_map = float(np.linalg.norm(c1_map - c0_map))
+            baseline = float(np.linalg.norm(
+                np.asarray(self.rig.T_sc)[query_cam][:3, 3]))
+            if d_map < 1e-6 or baseline < 1e-9:
+                continue
+            scale = baseline / d_map
+            self.cross_reloc_scales.append(scale)
+            self.last_reloc_cam_pose = T_1w
+            inl_np = np.asarray(inl)
+            self._last_xreloc = (
+                kid, [p for p, keep in zip(pairs, inl_np) if keep])
+            self.events.append(
+                f"XRELOC@{frame.frame_id} kf={kid} n={int(cnt)} "
+                f"s={scale:.4f}")
+            return True
+        return False
+
+    def _apply_scale(self, s: float, frame: HostFrame) -> None:
+        """Multiply the whole state (map + tracking) by scale s."""
+        self.map.set_scale(s)
+        frame.T_cw = frame.T_cw.copy()
+        frame.T_cw[:3, 3] *= s
+        if self.last is not None and self.last.T_cw is not None:
+            self.last.T_cw = self.last.T_cw.copy()
+            self.last.T_cw[:3, 3] *= s
+        if self.velocity is not None:
+            self.velocity = self.velocity.copy()
+            self.velocity[:3, 3] *= s
+        for mp in self.map.points.values():
+            update_point_stats(mp, self.map, np.asarray(self.rig.T_sc),
+                               self.scale_factors)
+
+    def _attach_cross_observations(self, frame: HostFrame,
+                                   kf: KeyFrame) -> int:
+        """Attach the latest cross-reloc's matched map points as SECONDARY-
+        camera observations of keyframe `kf`.  These dual observations are
+        what lets BA's extrinsic-adjoint factor enforce the metric baseline
+        — the actual scale-anchoring mechanism of the reference
+        (AdjustSecondMapMultical, Tracking.cc:483-499, assigns the reloc'd
+        frame's map points into the current frame's cam-1 keypoint slots)."""
+        if not getattr(self, "_last_xreloc", None):
+            return 0
+        reloc_kid, pairs = self._last_xreloc
+        N = frame.n
+        n_attached = 0
+        for rf, mid in pairs:
+            mp = self.map.points.get(mid)
+            if mp is None or mp.is_bad:
+                continue
+            g = 1 * N + rf
+            if kf.mp_idx[g] < 0 and kf.kid not in mp.obs:
+                self.map.add_observation(mp, kf, g, 1)
+                n_attached += 1
+        kf.connected_to_second_map = True
+        rkf = self.map.keyframes.get(reloc_kid)
+        if rkf is not None:
+            rkf.connected_to_second_map = True
+        self._last_xreloc = None
+        return n_attached
+
+    def _adjust_second_map(self, frame: HostFrame) -> None:
+        """Post-scaling cross-reloc handling (AdjustSecondMapMultical,
+        Tracking.cc:476-511): promote the frame to a keyframe carrying the
+        cross-camera observations and let local BA settle the metric scale
+        through the extrinsic baseline."""
+        kf = self._make_keyframe(frame, frame.T_cw)
+        ncam, N = frame.valid.shape
+        for c in range(ncam):
+            for row in np.nonzero(frame.mp_ids[c] >= 0)[0]:
+                mid = int(frame.mp_ids[c][row])
+                mp = self.map.points.get(mid)
+                if mp is None or mp.is_bad:
+                    continue
+                g = c * N + int(row)
+                if kf.mp_idx[g] < 0 and kf.kid not in mp.obs:
+                    self.map.add_observation(mp, kf, g, c)
+        n_att = self._attach_cross_observations(frame, kf)
+        self.map.update_connections(kf)
+        self.map.first_scale_kid = kf.kid
+        self.ref_kid = kf.kid
+        self.last_kf_frame_id = frame.frame_id
+        self.events.append(f"XKF@{frame.frame_id} kid={kf.kid} att={n_att}")
+        if self.kfdb is not None:
+            self._kfdb_add(kf)
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf)
+
+    def _create_second_map(self, frame: HostFrame) -> None:
+        """CreateSecondMapMultical (Tracking.cc:512-775): average the
+        collected scale estimates, rescale EVERY keyframe and map point to
+        metric units, pin the scale gauge, and run a global BA in which the
+        sibling camera's extrinsic-baseline observations now constrain the
+        absolute scale."""
+        # self-consistency gate: the per-reloc estimates carry map-noise
+        # level error (baseline ~ noise at 10cm); only commit to a scale
+        # when the surviving estimates agree, otherwise drop the most
+        # discrepant and keep collecting
+        ests = np.asarray(self.cross_reloc_scales, np.float64)
+        med0 = float(np.median(ests))
+        rel = np.abs(ests - med0) / max(med0, 1e-9)
+        keep = rel < 0.35
+        if keep.sum() < self.cfg.tracker.num_frame_in_secondmap:
+            worst = int(np.argmax(rel))
+            self.cross_reloc_scales.pop(worst)
+            self.events.append(
+                f"XSPREAD@{frame.frame_id} ests={np.round(ests, 3).tolist()}")
+            return
+        s = float(np.median(ests[keep]))
+        n_used = int(keep.sum())
+        m = self.map
+        self._apply_scale(s, frame)
+        m.map_scaled = True
+        for kf in m.keyframes.values():
+            kf.scaled = True
+        self.cross_reloc_scales.clear()
+        self.events.append(f"SCALED@{frame.frame_id} s={s:.4f} n={n_used}")
+        # promote the current frame to the first second-map keyframe with
+        # the cross-camera observations attached (they are what anchors
+        # metric scale in BA) ...
+        self._adjust_second_map(frame)
+        # ... then a metric global BA re-settles everything around the new
+        # gauge (CreateSecondMapMultical's GBA, Tracking.cc:733)
+        from orbslam2_dualcam_tpu.pipeline import ba_pack
+        kids = sorted(m.keyframes.keys())
+        fixed = {m.first_scale_kid} if m.first_scale_kid in m.keyframes \
+            else {m.origin_kid}
+        prob, all_kids, mids, meta = ba_pack.pack_problem(
+            m, kids, fixed_kids=fixed,
+            level_sigma2=self.scale_factors ** 2, ncam=self.cfg.n_cameras)
+        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
+                          iters=10)
+        ba_pack.unpack_result(m, res, all_kids, mids, meta,
+                              chi2_th=self.cfg.ba.chi2_mono)
+
+    def _update_full_state(self, frame: HostFrame) -> None:
+        """FULL iff the map is scaled and enough keyframes carry secondary-
+        camera observations (Tracking.cc:324-333, NUM_SECONDMAP)."""
+        if self.state == self.FULL or not self.map.map_scaled:
+            return
+        n_second = sum(1 for kf in self.map.keyframes.values()
+                       if kf.connected_to_second_map)
+        # KFs with any secondary-camera observation also count (fuse and
+        # triangulation attach them once the map is scaled)
+        for kf in self.map.keyframes.values():
+            if kf.connected_to_second_map:
+                continue
+            for mid in kf.mp_idx[kf.mp_idx >= 0]:
+                mp = self.map.points.get(int(mid))
+                if mp is not None and mp.obs_cam.get(kf.kid, 0) != 0:
+                    n_second += 1
+                    break
+        if n_second >= self.cfg.tracker.num_secondmap:
+            self.state = self.FULL
+            self.events.append(f"FULL@{frame.frame_id}")
+            # one-time metric-refinement GBA: the global scale mode is a
+            # low-curvature direction that local windows correct slowly;
+            # with the dual observations accumulated, a longer global pass
+            # settles it (the reference's post-second-map GBA thread)
+            self._metric_gba(iters=25)
+
+    def _metric_gba(self, iters: int) -> None:
+        from orbslam2_dualcam_tpu.pipeline import ba_pack
+        m = self.map
+        kids = sorted(m.keyframes.keys())
+        fixed = {m.first_scale_kid} if m.first_scale_kid in m.keyframes \
+            else {m.origin_kid}
+        prob, all_kids, mids, meta = ba_pack.pack_problem(
+            m, kids, fixed_kids=fixed,
+            level_sigma2=self.scale_factors ** 2, ncam=self.cfg.n_cameras)
+        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
+                          iters=iters, cg_iters=48)
+        ba_pack.unpack_result(m, res, all_kids, mids, meta,
+                              chi2_th=self.cfg.ba.chi2_mono)
 
     # ------------------------------------------------------------------
     # relocalization (Tracking.cc:1035-1261)

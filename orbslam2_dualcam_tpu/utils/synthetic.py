@@ -38,16 +38,40 @@ class World:
 
 def _noise_texture(rng: np.random.Generator, size: int = 512,
                    lo: float = 25.0, hi: float = 230.0) -> np.ndarray:
-    """Multi-octave smoothed noise: corner-rich and locally unique."""
+    """Corner-rich, locally UNIQUE texture: multi-octave noise plus sparse
+    high-contrast shapes.  Pure octave noise is statistically self-similar
+    everywhere — ratio-test matching collapses to ~10 matches/view-pair;
+    the distinct shapes give BRIEF patches identity."""
     import cv2
+    # no octave finer than ~4 texels: sub-pixel texture aliases under
+    # minification (no mipmapping in the raycaster) and reads as ~20%
+    # descriptor bit noise across views
     img = np.zeros((size, size), np.float32)
-    for octave, amp in [(16, 0.3), (64, 0.5), (256, 1.0)]:
+    for octave, amp in [(16, 0.5), (64, 1.0), (128, 0.5)]:
         n = rng.uniform(0, 1, (octave, octave)).astype(np.float32)
         img += amp * cv2.resize(n, (size, size),
                                 interpolation=cv2.INTER_CUBIC)
     img -= img.min()
     img /= max(img.max(), 1e-9)
-    return (lo + (hi - lo) * img).astype(np.float32)
+    img = (lo + (hi - lo) * img).astype(np.float32)
+    # sparse distinctive structures: rectangles, ellipses, lines
+    for _ in range(150):
+        v = float(rng.uniform(lo, hi))
+        x, y = int(rng.integers(0, size)), int(rng.integers(0, size))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            w, h = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+            ang = float(rng.uniform(0, 180))
+            box = cv2.boxPoints(((x, y), (w, h), ang)).astype(np.int32)
+            cv2.fillConvexPoly(img, box, v)
+        elif kind == 1:
+            axes = (int(rng.integers(4, 30)), int(rng.integers(4, 30)))
+            cv2.ellipse(img, (x, y), axes, float(rng.uniform(0, 180)),
+                        0, 360, v, -1)
+        else:
+            x2, y2 = int(rng.integers(0, size)), int(rng.integers(0, size))
+            cv2.line(img, (x, y), (x2, y2), v, int(rng.integers(2, 6)))
+    return img
 
 
 def make_box_world(rng: np.random.Generator, n_points: int = 4000,
@@ -138,6 +162,37 @@ def render_rig(world: World, rig_K: np.ndarray, rig_T_sc: np.ndarray,
         T_sw = rig_T_sc[c] @ T_cw
         out[c] = render(world, rig_K[c], T_sw, H, W)
     return out
+
+
+def out_and_back_trajectory(n_out: int = 30, n_turn: int = 30,
+                            n_back: int = 30, x0: float = -3.0,
+                            x1: float = 3.0,
+                            turn_radius: float = 1.0) -> list[np.ndarray]:
+    """Dual-camera bootstrap scenario: crab-walk along x facing the +z wall,
+    U-turn (an arc — rotation WITH baseline, since pure in-place rotation
+    is untriangulatable for a monocular front end), crab-walk back.  On the
+    return leg the BACK camera faces +z and re-sees, from nearby spots and
+    the same direction, what the front camera mapped on the way out — the
+    cross-camera relocalization setting of the reference's demo sequence."""
+    import jax.numpy as jnp
+    poses = []
+
+    def pose(x, z, yaw):
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0])))
+        T_wc = np.eye(4)
+        T_wc[:3, :3] = R_wc
+        T_wc[:3, 3] = [x, 0.0, z]
+        return np.linalg.inv(T_wc)
+
+    for k in range(n_out):
+        poses.append(pose(x0 + (x1 - x0) * k / max(n_out - 1, 1), 0.0, 0.0))
+    r = turn_radius
+    for k in range(1, n_turn + 1):
+        th = np.pi * k / n_turn
+        poses.append(pose(x1 + r * np.sin(th), r * (1 - np.cos(th)), th))
+    for k in range(1, n_back + 1):
+        poses.append(pose(x1 + (x0 - x1) * k / n_back, 2 * r, np.pi))
+    return poses
 
 
 def orbit_trajectory(n_frames: int, radius: float = 2.0,

@@ -1,0 +1,77 @@
+"""CLI + reference-YAML parity: parse the reference's own settings file and
+run the video driver end-to-end on a tiny synthetic video."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from orbslam2_dualcam_tpu.utils.yaml_config import load_rig_yaml
+
+REF_YAML = "/root/reference/Dual-LenaCV.yaml"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_YAML), reason="no reference yaml")
+def test_load_reference_yaml():
+    cfg = load_rig_yaml(REF_YAML)
+    assert cfg.n_cameras == 2
+    cam0, cam1 = cfg.cameras
+    assert abs(cam0.fx - 558.47) < 0.01        # Dual-LenaCV.yaml Camera0.fx
+    assert abs(cam1.fx - 546.60) < 0.01
+    # cam0 extrinsic is identity; cam1 rotated ~69deg with ~10cm baseline
+    assert np.allclose(cam0.q_sc, (1, 0, 0, 0))
+    t1 = np.asarray(cam1.t_sc)
+    assert abs(np.linalg.norm(t1) - 0.0997) < 0.01
+    assert cfg.orb.n_features == 1000
+    assert cfg.orb.n_levels == 8
+    assert cfg.fps == 30.0
+
+
+def test_video_cli_end_to_end(tmp_path):
+    import cv2
+
+    from orbslam2_dualcam_tpu.utils import synthetic
+
+    # render a small mono video of the textured room
+    rng = np.random.default_rng(0)
+    world = synthetic.make_box_world(rng, half=6.0, tex_size=256)
+    K = np.array([[130.0, 0, 80], [0, 130, 60], [0, 0, 1]])
+    vid = str(tmp_path / "seq.avi")
+    wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 30, (160, 120))
+    for T in synthetic.orbit_trajectory(16, radius=1.5,
+                                        total_angle=0.4 * np.pi):
+        img = synthetic.render(world, K, T, H=120, W=160).astype(np.uint8)
+        wr.write(cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+    wr.release()
+
+    yaml = tmp_path / "rig.yaml"
+    yaml.write_text("""%YAML:1.0
+nCameras: 1
+Camera0.fx: 130.0
+Camera0.fy: 130.0
+Camera0.cx: 80.0
+Camera0.cy: 60.0
+Camera.width: 160
+Camera.height: 120
+Camera.fps: 30.0
+Camera.RGB: 1
+ORBextractor.nFeatures: 200
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 3
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "orbslam2_dualcam_tpu.run",
+         "--settings", str(yaml), "--video", vid, "--out", str(out),
+         "--mono", "--no-loop", "--cpu"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (out / "FramePoseTcw.txt").exists()
+    assert (out / "map.npz").exists()
+    lines = (out / "FramePoseTcw.txt").read_text().strip().splitlines()
+    assert len(lines) >= 5, r.stdout

@@ -87,6 +87,27 @@ def test_pnp_ransac(rng):
     assert np.abs(err).max() < 0.02, err
 
 
+def test_pnp_ransac_planar_wall(rng):
+    """Coplanar world points (a wall — the common relocalization case) are
+    rank-degenerate for the linear DLT; the homography-decomposition
+    hypothesis path must handle them."""
+    from orbslam2_dualcam_tpu.ops import lie as L
+    n = 60
+    X = np.stack([rng.uniform(-4, 4, n), rng.uniform(-2, 2, n),
+                  np.full(n, 6.0)], 1).astype(np.float32)
+    T = L.se3_exp(jnp.asarray([0.3, -0.1, 0.2, 0.05, -0.2, 0.1], jnp.float32))
+    uv = np.array(project(K, T, jnp.asarray(X))) + rng.normal(0, 0.6, (n, 2))
+    bad = rng.choice(n, 20, replace=False)
+    uv[bad] += rng.uniform(30, 90, (20, 2)) * rng.choice([-1, 1], (20, 2))
+    T_est, inl, cnt, ok = ransac.pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X),
+        jnp.asarray(uv.astype(np.float32)), jnp.ones(n, bool), K)
+    assert bool(ok)
+    assert int(cnt) >= 35
+    err = np.abs(np.asarray(L.se3_log(T_est @ L.se3_inv(T)))).max()
+    assert err < 0.05, err
+
+
 def test_horn_sim3_exact(rng):
     P2 = jnp.asarray(rng.uniform(-3, 3, (30, 3)).astype(np.float32))
     R_t = lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5]))
