@@ -76,7 +76,8 @@ def main(out_dir: str = "/tmp/dual_slam_demo") -> None:
     print("bootstrap events:")
     for e in sys_.tracker.events:
         if any(e.startswith(p) for p in ("INIT", "XRELOC", "SCALED", "XKF",
-                                         "FULL")):
+                                         "XWARP", "XSPREAD", "FULL",
+                                         "LOST", "RELOC")):
             print("  ", e)
 
     # metric accuracy

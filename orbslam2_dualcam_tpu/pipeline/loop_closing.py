@@ -196,62 +196,12 @@ class LoopCloser:
         """CorrectLoop (LoopClosing.cc:469-701): Sim3-propagate corrections
         to the covisible window, correct their map points per observing
         camera, fuse duplicates, then pose-graph + global BA."""
-        m = self.map
-        # snapshot pre-correction poses: the pose graph needs odometry-
-        # consistent measurements (NonCorrectedSim3, LoopClosing.cc:520-540)
-        old_poses = {kid: okf.T_cw.copy() for kid, okf in m.keyframes.items()}
-        window = [kf.kid] + m.covisible_kfs(kf)
-        corrections: Dict[int, np.ndarray] = {}
-        T_kw = kf.T_cw
-        for kid in window:
-            okf = m.keyframes.get(kid)
-            if okf is None:
-                continue
-            T_ik = okf.T_cw @ np.linalg.inv(T_kw)     # relative (SE3)
-            S_iw = T_ik @ Scw                          # corrected Sim3
-            corrections[kid] = S_iw
-        # correct map points observed in the window through their
-        # per-camera observer (LoopClosing.cc:574-593)
-        done: Set[int] = set()
-        for kid in window:
-            okf = m.keyframes.get(kid)
-            if okf is None:
-                continue
-            S_iw = corrections[kid]
-            Ri, ti, si = _sim3_parts(S_iw)
-            T_old = okf.T_cw
-            for mid in okf.mp_idx[okf.mp_idx >= 0]:
-                mid = int(mid)
-                if mid in done:
-                    continue
-                mp = m.points.get(mid)
-                if mp is None:
-                    continue
-                done.add(mid)
-                # x_cam(old) -> world(corrected): inv(S_iw) * T_old
-                x_c = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
-                mp.pos = (Ri.T @ (x_c - ti)) / si
-            # corrected SE3 pose: [R, t/s] (Optimizer.cc:962-967 convention)
-            okf.T_cw = np.eye(4)
-            okf.T_cw[:3, :3] = Ri
-            okf.T_cw[:3, 3] = ti / si
-        # merge matched loop points: current-KF point replaced by loop point
-        for mid_cur, mid_loop in matched_mids:
-            a = m.points.get(mid_cur)
-            b = m.points.get(mid_loop)
-            if a is None or b is None or a.mid == b.mid:
-                continue
-            m.replace_point(a, b)
-        kf.loop_edges.add(loop_kf.kid)
-        loop_kf.loop_edges.add(kf.kid)
+        apply_sim3_correction(
+            self.map, self.rig, kf, loop_kf, Scw, matched_mids,
+            fix_scale=self.cfg.loop.fix_scale,
+            pose_graph_iters=self.cfg.ba.pose_graph_iters)
         self.last_loop_kid = kf.kid
         self.n_loops_closed += 1
-        # pose graph over the essential graph, then global BA
-        from orbslam2_dualcam_tpu.optim import pose_graph
-        pose_graph.optimize_essential_graph(
-            m, self.rig, loop_kid=loop_kf.kid, cur_kid=kf.kid,
-            old_poses=old_poses, fix_scale=self.cfg.loop.fix_scale,
-            iters=self.cfg.ba.pose_graph_iters)
         self._global_ba()
 
     def _global_ba(self) -> None:
@@ -274,3 +224,71 @@ def _sim3_parts(S: np.ndarray):
     sR = S[:3, :3]
     s = float(np.cbrt(np.linalg.det(sR)))
     return sR / s, S[:3, 3].copy(), s
+
+
+def apply_sim3_correction(m: Map, rig, kf: KeyFrame, loop_kf: KeyFrame,
+                          Scw: np.ndarray, matched_mids,
+                          fix_scale: bool = False,
+                          pose_graph_iters: int = 40) -> None:
+    """Sim3 window correction + essential-graph propagation, shared by
+    loop closing and the dual pipeline's cross-camera anchoring.
+
+    `Scw` is the corrected Sim3 pose of `kf` (world -> kf camera-0 frame,
+    scale included); `kf`'s covisible window is rigidly carried along, its
+    map points are transformed per observing keyframe
+    (LoopClosing.cc:503-610), a loop edge kf<->loop_kf is added, and the
+    7-DoF essential graph redistributes the remaining discrepancy
+    (Optimizer::OptimizeEssentialGraph)."""
+    # snapshot pre-correction poses: the pose graph needs odometry-
+    # consistent measurements (NonCorrectedSim3, LoopClosing.cc:520-540)
+    old_poses = {kid: okf.T_cw.copy() for kid, okf in m.keyframes.items()}
+    window = [kf.kid] + m.covisible_kfs(kf)
+    corrections: Dict[int, np.ndarray] = {}
+    T_kw = kf.T_cw
+    for kid in window:
+        okf = m.keyframes.get(kid)
+        if okf is None:
+            continue
+        T_ik = okf.T_cw @ np.linalg.inv(T_kw)     # relative (SE3)
+        S_iw = T_ik @ Scw                          # corrected Sim3
+        corrections[kid] = S_iw
+    # correct map points observed in the window through their
+    # per-camera observer (LoopClosing.cc:574-593)
+    done: Set[int] = set()
+    for kid in window:
+        okf = m.keyframes.get(kid)
+        if okf is None:
+            continue
+        S_iw = corrections[kid]
+        Ri, ti, si = _sim3_parts(S_iw)
+        T_old = okf.T_cw
+        for mid in okf.mp_idx[okf.mp_idx >= 0]:
+            mid = int(mid)
+            if mid in done:
+                continue
+            mp = m.points.get(mid)
+            if mp is None:
+                continue
+            done.add(mid)
+            # x_cam(old) -> world(corrected): inv(S_iw) * T_old
+            x_c = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+            mp.pos = (Ri.T @ (x_c - ti)) / si
+        # corrected SE3 pose: [R, t/s] (Optimizer.cc:962-967 convention)
+        okf.T_cw = np.eye(4)
+        okf.T_cw[:3, :3] = Ri
+        okf.T_cw[:3, 3] = ti / si
+    # merge matched loop points: current-KF point replaced by loop point
+    for mid_cur, mid_loop in matched_mids:
+        a = m.points.get(mid_cur)
+        b = m.points.get(mid_loop)
+        if a is None or b is None or a.mid == b.mid:
+            continue
+        m.replace_point(a, b)
+    kf.loop_edges.add(loop_kf.kid)
+    loop_kf.loop_edges.add(kf.kid)
+    # pose graph over the essential graph
+    from orbslam2_dualcam_tpu.optim import pose_graph
+    pose_graph.optimize_essential_graph(
+        m, rig, loop_kid=loop_kf.kid, cur_kid=kf.kid,
+        old_poses=old_poses, fix_scale=fix_scale,
+        iters=pose_graph_iters)

@@ -611,7 +611,8 @@ class Tracker:
             self.last_reloc_cam_pose = T_1w
             inl_np = np.asarray(inl)
             self._last_xreloc = (
-                kid, [p for p, keep in zip(pairs, inl_np) if keep])
+                kid, [p for p, keep in zip(pairs, inl_np) if keep],
+                T_1w, scale)
             self.events.append(
                 f"XRELOC@{frame.frame_id} kf={kid} n={int(cnt)} "
                 f"s={scale:.4f}")
@@ -643,7 +644,7 @@ class Tracker:
         frame's map points into the current frame's cam-1 keypoint slots)."""
         if not getattr(self, "_last_xreloc", None):
             return 0
-        reloc_kid, pairs = self._last_xreloc
+        reloc_kid, pairs, _, _ = self._last_xreloc
         N = frame.n
         n_attached = 0
         for rf, mid in pairs:
@@ -661,11 +662,13 @@ class Tracker:
         self._last_xreloc = None
         return n_attached
 
-    def _adjust_second_map(self, frame: HostFrame) -> None:
+    def _adjust_second_map(self, frame: HostFrame,
+                           allow_warp: bool = True) -> None:
         """Post-scaling cross-reloc handling (AdjustSecondMapMultical,
         Tracking.cc:476-511): promote the frame to a keyframe carrying the
         cross-camera observations and let local BA settle the metric scale
         through the extrinsic baseline."""
+        xreloc = getattr(self, "_last_xreloc", None)
         kf = self._make_keyframe(frame, frame.T_cw)
         ncam, N = frame.valid.shape
         for c in range(ncam):
@@ -683,6 +686,41 @@ class Tracker:
         self.ref_kid = kf.kid
         self.last_kf_frame_id = frame.frame_id
         self.events.append(f"XKF@{frame.frame_id} kid={kf.kid} att={n_att}")
+
+        # Frontier scale-drift correction.  The |t_sc|/|dC| estimate is the
+        # RELATIVE scale between the reloc'd (metric) region and the
+        # current frontier, so a global rescale cannot fix it; instead
+        # treat the cross-reloc as a Sim3 loop closure: snap this keyframe
+        # to the metric pose implied by the relocalization, carry its
+        # covisible window along with the relative scale folded into Scw,
+        # and let the essential graph redistribute (the dual-camera analog
+        # of CorrectLoop, sharing its machinery).
+        # Sim3 frontier warp: EXPERIMENTAL, default off.  Measured on the
+        # demo scenario: the warp's Sim3 (one ~30-point PnP) is too noisy
+        # and the essential graph partially reverts it, destabilizing
+        # tracking; needs a better-conditioned Scw (multi-reloc fusion)
+        # before it can be enabled.  Set enable_frontier_warp=True to test.
+        if (xreloc is not None and allow_warp and
+                getattr(self, "enable_frontier_warp", False)):
+            reloc_kid, _, T_1w, s_est = xreloc
+            reloc_kf = self.map.keyframes.get(reloc_kid)
+            if (reloc_kf is not None and 0.3 < s_est < 3.0 and
+                    abs(s_est - 1.0) > 0.08):
+                T_impl = np.asarray(self.rig.T_cs)[1] @ T_1w
+                s0 = 1.0 / s_est
+                Scw = np.eye(4)
+                Scw[:3, :3] = s0 * T_impl[:3, :3]
+                Scw[:3, 3] = s0 * T_impl[:3, 3]
+                from orbslam2_dualcam_tpu.pipeline.loop_closing import \
+                    apply_sim3_correction
+                apply_sim3_correction(self.map, self.rig, kf, reloc_kf,
+                                      Scw, [], fix_scale=False,
+                                      pose_graph_iters=20)
+                frame.T_cw = kf.T_cw.copy()
+                self.velocity = None
+                self.events.append(
+                    f"XWARP@{frame.frame_id} s={s_est:.4f}")
+
         if self.kfdb is not None:
             self._kfdb_add(kf)
         if self.local_mapper is not None:
@@ -719,8 +757,9 @@ class Tracker:
         self.events.append(f"SCALED@{frame.frame_id} s={s:.4f} n={n_used}")
         # promote the current frame to the first second-map keyframe with
         # the cross-camera observations attached (they are what anchors
-        # metric scale in BA) ...
-        self._adjust_second_map(frame)
+        # metric scale in BA).  No Sim3 warp here: the stored reloc pose
+        # predates the global rescale just applied from these estimates.
+        self._adjust_second_map(frame, allow_warp=False)
         # ... then a metric global BA re-settles everything around the new
         # gauge (CreateSecondMapMultical's GBA, Tracking.cc:733)
         from orbslam2_dualcam_tpu.pipeline import ba_pack
