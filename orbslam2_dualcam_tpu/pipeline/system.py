@@ -89,6 +89,18 @@ class System:
             self._stop.set()
             self._mapper_thread.join(timeout=5.0)
 
+    def activate_localization_mode(self) -> None:
+        """Track against the frozen map without extending it
+        (System::ActivateLocalizationMode, System.cc:182-199)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.tracker.localization_only = False
+
+    def set_compulsory_lost(self) -> None:
+        """Force LOST on the next frame (System.cc:330-333)."""
+        self.tracker.force_lost()
+
     def reset(self) -> None:
         """System/Tracking reset (Tracking.cc:1863-1918)."""
         self.map.clear()

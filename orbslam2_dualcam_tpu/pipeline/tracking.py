@@ -89,6 +89,11 @@ class Tracker:
         self.init_frame: Optional[HostFrame] = None
         self.n_track_inliers = 0
         self.key = jax.random.PRNGKey(cfg.vocab.seed)
+        # localization-only mode: track against the frozen map, no new
+        # keyframes/mapping (ActivateLocalizationMode, System.cc:182-199)
+        self.localization_only = False
+        # manual fault injection (SetCompulsoryLost, System.cc:330-333)
+        self._force_lost = False
         # dual-camera bootstrap state (Tracking.h:102-103 counters)
         self.cross_reloc_scales: List[float] = []
         self.next_cross_try: int = 0
@@ -107,6 +112,10 @@ class Tracker:
             frame = self._pull(fd, timestamp)
         self.frame_id += 1
 
+        if self._force_lost and self.state in (self.OK, self.FULL):
+            self._force_lost = False
+            self.state = self.LOST
+            self.events.append(f"FORCED_LOST@{frame.frame_id}")
         if self.state == self.NOT_INITIALIZED:
             with self.timer("initialize"):
                 self._monocular_initialization(frame)
@@ -321,9 +330,11 @@ class Tracker:
 
         self.velocity = frame.T_cw @ np.linalg.inv(self.last.T_cw)
         self._update_ref_kid(frame)
-        if self._need_new_keyframe(frame):
+        if not self.localization_only and self._need_new_keyframe(frame):
             self._create_keyframe(frame)
 
+        if self.localization_only:
+            return True
         # dual bootstrap: periodically attempt cross-camera relocalization
         # until the map is metric (FindPartialRelocalCandidate,
         # Tracking.cc:450-474); on enough successes, create the second map.
@@ -909,6 +920,11 @@ class Tracker:
     def _local_map_points_from_all(self) -> np.ndarray:
         mids = np.asarray(sorted(self.map.points.keys()), np.int64)
         return mids
+
+    def force_lost(self) -> None:
+        """Manual fault injection for relocalization testing
+        (System::SetCompulsoryLost, System.cc:330-333)."""
+        self._force_lost = True
 
     # ------------------------------------------------------------------
     def composed_trajectory(self):
