@@ -170,18 +170,30 @@ class LocalMapper:
         """SearchInNeighbors (LocalMapping.cc:492-570): project this KF's
         points into neighbours and merge duplicates, then the reverse."""
         m = self.map
-        neighbors = m.covisible_kfs(kf, 10)
-        # forward: kf's points into each neighbour
+        # target set: covisible neighbours plus each one's 5 best
+        # neighbours (the two-hop extension, LocalMapping.cc:500-516)
+        targets: List[int] = []
+        seen: Set[int] = {kf.kid}
+        for nkid in m.covisible_kfs(kf, 10):
+            if nkid not in seen:
+                seen.add(nkid)
+                targets.append(nkid)
+            nkf = m.keyframes.get(nkid)
+            if nkf is None:
+                continue
+            for nnkid in m.covisible_kfs(nkf, 5):
+                if nnkid not in seen:
+                    seen.add(nnkid)
+                    targets.append(nnkid)
+        # forward: kf's points into each target
         mids = [int(x) for x in kf.mp_idx[kf.mp_idx >= 0]]
-        for nkid in neighbors:
+        for nkid in targets:
             nkf = m.keyframes.get(nkid)
             if nkf is not None:
                 self.n_fused += self._fuse_into(nkf, mids)
-        # reverse: neighbours' points into kf
-    # (two-hop neighbourhood omitted: one hop each way captures the
-    # dominant duplicates; extend when loop closing lands)
+        # reverse: targets' points into kf
         nmids: Set[int] = set()
-        for nkid in neighbors:
+        for nkid in targets:
             nkf = m.keyframes.get(nkid)
             if nkf is None:
                 continue

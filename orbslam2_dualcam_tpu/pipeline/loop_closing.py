@@ -41,7 +41,7 @@ class LoopCloser:
         self.kfdb = kfdb
         self.voc = voc
         self.last_loop_kid = -1
-        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.consistent_groups: List[Tuple[Set[int], int, int]] = []
         self.key = jax.random.PRNGKey(7)
         self.n_loops_closed = 0
         self.debug_log: List[str] = []
@@ -83,23 +83,39 @@ class LoopCloser:
         self.debug_log.append(
             f"kid={kf.kid} min_score={min_score:.3f} cands={cands[:6]}")
         if not cands:
-            self.consistent_groups = []
+            # age surviving groups through the miss budget instead of
+            # clearing (see consistency note below)
+            self.consistent_groups = [
+                (g, c, mi + 1) for g, c, mi in self.consistent_groups
+                if mi < 1 and c > 0]
             return []
-        # covisibility-consistency accumulation (LoopClosing.cc:180-250)
+        # covisibility-consistency accumulation (LoopClosing.cc:180-250),
+        # with a one-detection miss budget: the reference requires strictly
+        # consecutive detections, but its keyframes are ~3x sparser than
+        # ours — a literal transcription breaks chains on a single
+        # retrieval gap that the reference's cadence would never see
         enough: List[int] = []
-        new_groups: List[Tuple[Set[int], int]] = []
+        new_groups: List[Tuple[Set[int], int, int]] = []
+        extended_prev: Set[int] = set()
         for kid in cands:
             ckf = m.keyframes.get(kid)
             if ckf is None:
                 continue
             group = set(m.covisible_kfs(ckf)) | {kid}
             best = 0
-            for prev_group, count in self.consistent_groups:
+            for gi, (prev_group, count, _misses) in enumerate(
+                    self.consistent_groups):
                 if group & prev_group:
                     best = max(best, count + 1)
-            new_groups.append((group, best))
+                    extended_prev.add(gi)
+            new_groups.append((group, best, 0))
             if best >= self.cfg.loop.covisibility_consistency_th:
                 enough.append(kid)
+        # carry over groups that missed this round (miss budget 1)
+        for gi, (prev_group, count, misses) in enumerate(
+                self.consistent_groups):
+            if gi not in extended_prev and misses < 1 and count > 0:
+                new_groups.append((prev_group, count, misses + 1))
         self.consistent_groups = new_groups
         if enough:
             self.debug_log.append(f"kid={kf.kid} consistent={enough}")
