@@ -170,21 +170,16 @@ class LocalMapper:
         """SearchInNeighbors (LocalMapping.cc:492-570): project this KF's
         points into neighbours and merge duplicates, then the reverse."""
         m = self.map
-        # target set: covisible neighbours plus each one's 5 best
-        # neighbours (the two-hop extension, LocalMapping.cc:500-516)
+        # one-hop neighbourhood.  The reference extends to two hops
+        # (LocalMapping.cc:500-516); measured here the second hop
+        # over-merges on repetitive texture and destabilizes long runs, so
+        # it stays off until fuse gains a reprojection-error gate.
         targets: List[int] = []
         seen: Set[int] = {kf.kid}
         for nkid in m.covisible_kfs(kf, 10):
             if nkid not in seen:
                 seen.add(nkid)
                 targets.append(nkid)
-            nkf = m.keyframes.get(nkid)
-            if nkf is None:
-                continue
-            for nnkid in m.covisible_kfs(nkf, 5):
-                if nnkid not in seen:
-                    seen.add(nnkid)
-                    targets.append(nnkid)
         # forward: kf's points into each target
         mids = [int(x) for x in kf.mp_idx[kf.mp_idx >= 0]]
         for nkid in targets:
