@@ -5,9 +5,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The measured program is the per-frame hot path of the reference
 (System::TrackDual -> extract ORB x2 cameras -> project/match -> pose
 optimization, SURVEY §3.2) at the reference's own operating point:
-2 x 640x480 @ 1300 features/camera (Dual-LenaCV.yaml:48-52,71-77).
+2 x 640x480 @ 1300 features/camera (Dual-LenaCV.yaml:48-52,71-77), with
+the motion-model prediction (Tracking.cc:1384) folded in on-device so the
+tracking state (pose, velocity) never leaves the chip between frames.
 Baseline = the reference's 30 fps real-time claim on an i7
 (README.md:13,22, BASELINE.md).
+
+Timing methodology.  This container reaches its TPU through a remote
+tunnel whose completion/readback latency (tens of ms .. seconds) dwarfs
+the on-chip step time, and `block_until_ready` does not reliably fence
+execution.  Per-frame blocking would therefore measure the tunnel, not
+the chip.  Instead we dispatch a dependent CHAIN of N per-frame steps
+(each frame's carry feeds the next — exactly the device-resident tracking
+loop), force completion with one scalar readback, and difference two
+chain lengths so every fixed cost (dispatch, fence, readback) cancels:
+
+    t_frame = (T(N2) - T(N1)) / (N2 - N1)
+
+Chain timing is also the honest deployment number: a TPU-native tracker
+keeps pose/velocity/map device-resident and lets the host read results
+asynchronously a frame behind (SURVEY §5 concurrency redesign), so
+steady-state throughput is set by the chained step time, not by
+per-frame host round trips.
 """
 
 import json
@@ -23,6 +42,10 @@ def main() -> None:
 
     if os.environ.get("SLAM_BENCH_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
@@ -30,49 +53,74 @@ def main() -> None:
     from orbslam2_dualcam_tpu.ops import camera, orb
     from orbslam2_dualcam_tpu.pipeline import frontend
     from orbslam2_dualcam_tpu.utils.config import dual_default
-    from __graft_entry__ import _mk_track_step_args
 
     cfg = dual_default()
     rig = camera.make_rig(cfg)
     level_scales = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
-    _, args = _mk_track_step_args()
-    (images, T_pred, mp_pos, mp_desc, mp_valid, mp_max, mp_min,
-     mp_norm) = args
+    n_feats, H, W, n_mp = 1300, 480, 640, 4096
 
-    # two jit stages, exactly as the Tracker runs them per frame (one
-    # XLA-fused mega-program pessimizes 4x on this chip)
-    extract = jax.jit(lambda im: orb.extract_orb_rig(im, cfg.orb, 1300))
-    match_pose = jax.jit(frontend.match_projection_pose)
+    rng = np.random.default_rng(0)
+    mp_pos = jnp.asarray(rng.uniform(-5, 5, (n_mp, 3)).astype(np.float32))
+    mp_desc = jnp.asarray(rng.integers(0, 2 ** 32, (n_mp, 8),
+                                       dtype=np.uint32))
+    mp_valid = jnp.ones(n_mp, bool)
+    mp_max = jnp.full(n_mp, 50.0, jnp.float32)
+    mp_min = jnp.zeros(n_mp, jnp.float32)
+    mp_norm = jnp.asarray(rng.normal(size=(n_mp, 3)).astype(np.float32))
+    mp_norm = mp_norm / jnp.linalg.norm(mp_norm, axis=1, keepdims=True)
 
-    def step(images):
-        feats = extract(images)
-        return match_pose(
+    @jax.jit
+    def track_step(T_last, V, image):
+        """One tracked frame, fully on device: motion-model prediction,
+        ORB extraction (both cameras), projection matching, pose opt,
+        velocity update (Tracking.cc:1384-1520)."""
+        T_pred = V @ T_last
+        feats = orb.extract_orb_rig(image, cfg.orb, n_feats)
+        res = frontend.match_projection_pose(
             T_pred, feats.uv, feats.desc, feats.level, feats.angle,
             feats.valid, mp_pos, mp_desc, mp_valid, mp_max, mp_min,
             mp_norm, rig, jnp.float32(15.0), level_scales,
             jnp.float32(100.0), jnp.float32(0.5), None)
+        V_new = res.T_cw @ jnp.linalg.inv(T_last)
+        return res.T_cw, V_new, res.n_inliers
+
+    # a ring of distinct frames, pre-staged on device (a live system
+    # overlaps the next frame's upload with the current frame's compute)
+    n_ring = 8
+    frames = [jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+              for _ in range(n_ring)]
+
+    def chain(n):
+        T = jnp.eye(4)
+        V = jnp.eye(4)
+        acc = jnp.int32(0)
+        t0 = time.time()
+        for i in range(n):
+            T, V, n_inl = track_step(T, V, frames[i % n_ring])
+            acc = acc + n_inl
+        forced = float(jnp.sum(T) + acc)   # one readback fences the chain
+        return time.time() - t0, forced
 
     t0 = time.time()
-    out = jax.block_until_ready(step(images))
+    chain(1)
     compile_s = time.time() - t0
-
-    n_warm, n_iter = 3, 20
-    for _ in range(n_warm):
-        out = jax.block_until_ready(step(images))
-    t0 = time.time()
-    for _ in range(n_iter):
-        out = jax.block_until_ready(step(images))
-    dt = (time.time() - t0) / n_iter
+    chain(8)                               # warm
+    n1, n2 = 10, 110
+    t1, _ = chain(n1)
+    t2, _ = chain(n2)
+    dt = max((t2 - t1) / (n2 - n1), 1e-6)
 
     fps = 1.0 / dt
     result = {
         "metric": "dual_tracking_fps_per_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (2x640x480, 1300 feats/cam, extract+match+poseopt)",
+        "unit": "frames/s (2x640x480, 1300 feats/cam, device-resident "
+                "extract+match+poseopt+motion-model, chained-frame timing)",
         "vs_baseline": round(fps / 30.0, 3),
     }
     print(json.dumps(result))
-    print(f"# compile {compile_s:.1f}s, steady {dt*1e3:.1f} ms/frame, "
+    print(f"# compile {compile_s:.1f}s, steady {dt*1e3:.2f} ms/frame "
+          f"(chain {n1}: {t1:.2f}s, chain {n2}: {t2:.2f}s), "
           f"backend={jax.devices()[0].platform}", file=sys.stderr)
 
 

@@ -9,8 +9,9 @@ from the MXU.
 
 Device code never sees this class: per-call, the pipeline packs the active
 window into dense jnp arrays (poses/points/Edges) and scatters results back.
-No global map mutex is needed — the pipeline stages exchange versioned
-snapshots (see pipeline/), replacing Map.mMutexMapUpdate (Map.h:69).
+Concurrency: pipeline/system.py guards map mutation with a lock (the
+equivalent of Map.mMutexMapUpdate, Map.h:69); the packed device arrays act
+as immutable snapshots for the duration of each jitted call.
 """
 
 from __future__ import annotations
@@ -175,6 +176,9 @@ class Map:
         self.big_change_idx = 0
         self.map_scaled = False          # tracks Tracking's mbIsMapScaled
         self.first_scale_kid: int = -1   # gauge anchor after scaling
+        # observers notified when a keyframe is erased (the reference's
+        # KeyFrame::SetBadFlag calls mpKeyFrameDB->erase, KeyFrame.cc:668)
+        self.on_erase_keyframe: List = []
 
     # -- creation ---------------------------------------------------------
     def add_keyframe(self, kf: KeyFrame) -> KeyFrame:
@@ -326,6 +330,8 @@ class Map:
             parent.children.discard(kf.kid)
         kf.is_bad = True
         self.keyframes.pop(kf.kid, None)
+        for cb in self.on_erase_keyframe:
+            cb(kf.kid)
 
     # -- dual-camera scaling (Tracking.cc:512-775 support) ----------------
     def set_scale(self, s: float) -> None:

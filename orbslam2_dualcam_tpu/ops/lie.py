@@ -67,11 +67,16 @@ def so3_log(R: jax.Array) -> jax.Array:
                       theta / (2.0 * sin_t + _EPS),
                       0.5 + theta * theta / 12.0)
     small = scale * w
-    # near-pi branch: |w| ~ 0 but rotation is large
+    # near-pi branch: |w| ~ 0 but rotation is large.  R + R^T =
+    # 2cos(t) I + 2(1-cos t) nn^T, so the off-diagonal sums give the sign
+    # pattern n_i n_j: anchor the largest-magnitude component positive and
+    # read the other signs from its row of (R + R^T).
     diag = jnp.clip((jnp.diagonal(R) - cos_t) / (1.0 - cos_t + _EPS), 0.0, None)
     axis_mag = jnp.sqrt(diag + _EPS)
-    signs = jnp.sign(jnp.where(jnp.abs(w) > 1e-6, w, jnp.stack(
-        [R[0, 1] + R[1, 0], R[1, 0] + R[0, 1], R[0, 2] + R[2, 0]])) + _EPS)
+    k = jnp.argmax(diag)
+    offsum = R + R.T
+    signs = jnp.sign(offsum[k] + _EPS)
+    signs = signs.at[k].set(1.0)
     big = theta * axis_mag * signs
     return jnp.where(theta < 3.0, small, big)
 

@@ -134,25 +134,42 @@ def optimize_essential_graph(m: Map, rig, loop_kid: int, cur_kid: int,
                              old_poses: Dict[int, np.ndarray] | None = None,
                              loop_connections: Dict[int, set] | None = None,
                              fix_scale: bool = False,
-                             iters: int = 40) -> None:
+                             iters: int = 40,
+                             corrected_sim: Dict[int, np.ndarray] | None = None,
+                             corrected_mids: Dict[int, int] | None = None) -> None:
     """Build the essential graph from the map and solve it.
 
     Edge set (Optimizer.cc:757-860): spanning-tree edges, loop edges,
     covisibility edges with weight >= 100; measurements from `old_poses`
     (pre-correction) when provided, so the already-corrected window pulls
-    the rest of the trajectory around the loop."""
+    the rest of the trajectory around the loop.
+
+    `corrected_sim` maps window keyframes to their FULL corrected Sim3
+    (scale included) — the reference's vScw/CorrectedSim3
+    (Optimizer.cc:739-755): those nodes start at the corrected similarity
+    (not the scale-stripped SE3 written into the map) and loop-edge
+    measurements are taken from it, so the 7-DoF graph can redistribute
+    monocular scale drift.  `corrected_mids` maps already-corrected map
+    points to the window keyframe that corrected them — the reference's
+    mnCorrectedByKF/mnCorrectedReference (Optimizer.cc:905-935) — so the
+    remap below transforms each point exactly once."""
     kids = sorted(m.keyframes.keys())
     if len(kids) < 3:
         return
     slot = {kid: i for i, kid in enumerate(kids)}
     K = len(kids)
+    corrected_sim = corrected_sim or {}
+    corrected_mids = corrected_mids or {}
 
     def pose_of(kid) -> np.ndarray:
         if old_poses is not None and kid in old_poses:
             return old_poses[kid]
         return m.keyframes[kid].T_cw
 
-    S0 = np.stack([m.keyframes[kid].T_cw for kid in kids]).astype(np.float32)
+    def current_sim(kid) -> np.ndarray:
+        return corrected_sim.get(kid, m.keyframes[kid].T_cw)
+
+    S0 = np.stack([current_sim(kid) for kid in kids]).astype(np.float32)
 
     edges: List[Tuple[int, int, np.ndarray]] = []
     seen = set()
@@ -164,8 +181,8 @@ def optimize_essential_graph(m: Map, rig, loop_kid: int, cur_kid: int,
         if kkey in seen:
             return
         seen.add(kkey)
-        Sa = m.keyframes[a].T_cw if use_current else pose_of(a)
-        Sb = m.keyframes[b].T_cw if use_current else pose_of(b)
+        Sa = current_sim(a) if use_current else pose_of(a)
+        Sb = current_sim(b) if use_current else pose_of(b)
         S_ab = Sa @ np.linalg.inv(Sb)
         edges.append((slot[a], slot[b], S_ab.astype(np.float32)))
 
@@ -198,7 +215,10 @@ def optimize_essential_graph(m: Map, rig, loop_kid: int, cur_kid: int,
         iters=iters, fix_scale=fix_scale)
     S_opt = np.asarray(S_opt, np.float64)
 
-    # write back SE3 poses [R, t/s] and remap points via reference KF
+    # write back SE3 poses [R, t/s] and remap points via reference KF.
+    # For a point already moved by the Sim3 window correction, "old" is the
+    # corrected Sim3 of the keyframe that moved it (Optimizer.cc:905-920);
+    # using the pre-correction pose there would transform it twice.
     old_sim: Dict[int, np.ndarray] = {kid: pose_of(kid).copy()
                                       for kid in kids}
     new_sim: Dict[int, np.ndarray] = {}
@@ -212,11 +232,16 @@ def optimize_essential_graph(m: Map, rig, loop_kid: int, cur_kid: int,
         new_sim[kid] = S
         m.keyframes[kid].T_cw = T
     for mp in m.points.values():
-        ref = mp.ref_kid if mp.ref_kid in slot else (
-            next(iter(mp.obs)) if mp.obs else -1)
-        if ref < 0 or ref not in slot:
-            continue
-        S_old = old_sim[ref]
+        corr_ref = corrected_mids.get(mp.mid, -1)
+        if corr_ref >= 0 and corr_ref in slot:
+            ref = corr_ref
+            S_old = corrected_sim[ref]
+        else:
+            ref = mp.ref_kid if mp.ref_kid in slot else (
+                next(iter(mp.obs)) if mp.obs else -1)
+            if ref < 0 or ref not in slot:
+                continue
+            S_old = old_sim[ref]
         S_new = new_sim[ref]
         x = S_old[:3, :3] @ mp.pos + S_old[:3, 3]         # into old kf frame
         Sni = np.linalg.inv(S_new)

@@ -26,15 +26,26 @@ def _bucket(n: int, lo: int = 256) -> int:
 def pack_problem(m: Map, kids: Sequence[int], fixed_kids: Set[int],
                  level_sigma2: np.ndarray, ncam: int,
                  max_points: int | None = None,
-                 include_spectators: bool = True):
+                 include_spectators: bool = True,
+                 cross_weight: float = 2.0):
     """Build a BAProblem for the window `kids`.
 
     Points = all points observed by the window; spectator KFs (outside the
     window but observing those points) are added as fixed poses, mirroring
     LocalBundleAdjustment's lFixedCameras (Optimizer.cc:447-466).
 
+    Cross-camera edges — observations through a camera other than the
+    point's first-view camera — are the ONLY residuals through which the
+    metric extrinsic baseline constrains map scale (the reference counts
+    them as nCrossCamEdges, Optimizer.cc:111-142).  They are up-weighted by
+    `cross_weight` and flagged in the edge meta so unpack can exempt them
+    from chi2 erasure: right after the bootstrap rescale the map can still
+    be a factor off metric, which makes exactly these edges look like
+    outliers — erasing them would discard the scale signal (the Huber
+    kernel already bounds their influence if truly wrong).
+
     Returns (prob, kid_of_pslot, mid_of_slot, edge_meta) where edge_meta is
-    (kids_arr, mids_arr, rows_arr) per edge for outlier erasure."""
+    (kid, mid, row, is_cross) per edge for outlier erasure."""
     kids = [k for k in kids if k in m.keyframes]
     kidset = set(kids)
     mids: List[int] = []
@@ -92,12 +103,14 @@ def pack_problem(m: Map, kids: Sequence[int], fixed_kids: Set[int],
                 continue
             kf = m.keyframes[kid]
             cam = mp.obs_cam.get(kid, 0)
+            is_cross = cam != mp.first_view_cam
             ekf.append(slot_of_kid[kid])
             emp.append(slot_of_mid[mid])
             ecam.append(cam)
             euv.append(kf.uv[row])
-            esig.append(1.0 / level_sigma2[int(kf.level[row])])
-            meta.append((kid, mid, row))
+            w = cross_weight if is_cross else 1.0
+            esig.append(w / level_sigma2[int(kf.level[row])])
+            meta.append((kid, mid, row, is_cross))
     E = _bucket(max(len(ekf), 1), 1024)
     pad = E - len(ekf)
     edges = Edges(
@@ -133,8 +146,8 @@ def unpack_result(m: Map, res: ba.BAResult, all_kids: Sequence[int],
     n_erased = 0
     if erase_outliers:
         chi2 = np.asarray(res.edge_chi2)
-        for e, (kid, mid, row) in enumerate(meta):
-            if chi2[e] > chi2_th:
+        for e, (kid, mid, row, is_cross) in enumerate(meta):
+            if chi2[e] > chi2_th and not is_cross:
                 mp = m.points.get(mid)
                 if mp is not None and not mp.is_bad:
                     m.erase_observation(mp, kid)

@@ -66,6 +66,7 @@ class TrackResult(NamedTuple):
     T_cw: jax.Array        # optimized rig pose
     mp_ids: jax.Array      # [ncam, N] matched map-point slot per keypoint (-1)
     n_inliers: jax.Array
+    mp_visible: jax.Array  # [M] map-point slot passed the frustum test in any cam
 
 
 @jax.jit
@@ -123,9 +124,10 @@ def project_and_match(T_pred: jax.Array,
             mp_desc, feats_desc[c], allow=allow,
             valid_a=vis, valid_b=feats_valid[c],
             max_dist=max_hamming, ratio=0.9)
-        return res.idx, res.dist
+        return res.idx, res.dist, vis
 
-    idxs, dists = jax.vmap(per_cam)(cam_ids)      # [ncam, M]
+    idxs, dists, vis = jax.vmap(per_cam)(cam_ids)  # [ncam, M]
+    vis_any = jnp.any(vis, axis=0)                 # [M]
 
     # invert: per-keypoint map point (resolve camera conflicts by distance)
     def invert(c):
@@ -144,7 +146,7 @@ def project_and_match(T_pred: jax.Array,
             jnp.where(win, mprange, -1), mode='drop')
         return kp_assign
 
-    return jax.vmap(invert)(cam_ids)               # [ncam, N]
+    return jax.vmap(invert)(cam_ids), vis_any      # [ncam, N], [M]
 
 
 @jax.jit
@@ -163,7 +165,7 @@ def match_projection_pose(T_pred: jax.Array,
     """Projection matching + pose optimization — the TrackWithMotionModel /
     TrackLocalMap hot path (Tracking.cc:1384-1520)."""
     ncam, N = feats_valid.shape
-    mp_of_kp = project_and_match(
+    mp_of_kp, mp_vis = project_and_match(
         T_pred, feats_uv, feats_desc, feats_level, feats_valid,
         mp_pos, mp_desc, mp_valid, mp_max_dist, mp_min_dist, mp_normal,
         rig, radius, level_scales, max_hamming, view_cos_th, cam_enabled)
@@ -182,7 +184,8 @@ def match_projection_pose(T_pred: jax.Array,
         inv_sigma2.reshape(-1), matched.reshape(-1),
         rig.T_sc, rig.adj_sc, rig.K)
     mp_final = jnp.where(inl.reshape(ncam, N), mp_of_kp, -1)
-    return TrackResult(T_cw=T_opt, mp_ids=mp_final, n_inliers=n)
+    return TrackResult(T_cw=T_opt, mp_ids=mp_final, n_inliers=n,
+                       mp_visible=mp_vis)
 
 
 @jax.jit

@@ -15,25 +15,30 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from orbslam2_dualcam_tpu.models.map import (KeyFrame, Map, MapPoint,
                                              update_point_stats)
+from orbslam2_dualcam_tpu.ops import ransac
 from orbslam2_dualcam_tpu.ops.camera import CameraRig
 from orbslam2_dualcam_tpu.optim import ba
 from orbslam2_dualcam_tpu.pipeline import ba_pack, frontend
 from orbslam2_dualcam_tpu.utils.config import SystemConfig
 from orbslam2_dualcam_tpu.utils.profiling import StageTimer
+from orbslam2_dualcam_tpu.vocab import bow
 
 
 class LocalMapper:
     def __init__(self, cfg: SystemConfig, rig: CameraRig, slam_map: Map,
-                 loop_closer=None) -> None:
+                 loop_closer=None, kfdb=None, voc=None) -> None:
         self.cfg = cfg
         self.rig = rig
         self.map = slam_map
         self.loop_closer = loop_closer
+        self.kfdb = kfdb
+        self.voc = voc
         self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
         self._level_scales = jnp.asarray(self.scale_factors)
         self.timer = StageTimer()
@@ -41,6 +46,10 @@ class LocalMapper:
         self.n_triangulated = 0
         self.n_fused = 0
         self.n_culled_kf = 0
+        self.n_cross_harvested = 0           # SearchCrossCameras adds+merges
+        self.last_cross_kid = -10**9         # last successful harvest KF
+        self.key = jax.random.PRNGKey(11)
+        self.events: List[str] = []          # debug trail (cross harvest &c)
         self.ba_log: List[tuple] = []        # (kid, n_kf, n_mp, n_edge, cost)
 
     # ------------------------------------------------------------------
@@ -53,6 +62,8 @@ class LocalMapper:
             self._create_new_points(kf)
         with self.timer("fuse"):
             self._fuse_neighbors(kf)
+        with self.timer("cross_cam"):
+            self._search_cross_cameras(kf)
         for mid in kf.mp_idx[kf.mp_idx >= 0]:
             mp = m.points.get(int(mid))
             if mp is not None:
@@ -81,7 +92,7 @@ class LocalMapper:
             if mp is None or mp.is_bad:
                 continue
             age = kf.kid - mp.first_kf_id
-            if mp.found_ratio() < 0.25:
+            if mp.found_ratio() < self.cfg.mapping.cull_found_ratio:
                 m.erase_point(mp)
             elif age >= 2 and mp.n_obs <= 2:
                 m.erase_point(mp)
@@ -170,16 +181,27 @@ class LocalMapper:
         """SearchInNeighbors (LocalMapping.cc:492-570): project this KF's
         points into neighbours and merge duplicates, then the reverse."""
         m = self.map
-        # one-hop neighbourhood.  The reference extends to two hops
-        # (LocalMapping.cc:500-516); measured here the second hop
-        # over-merges on repetitive texture and destabilizes long runs, so
-        # it stays off until fuse gains a reprojection-error gate.
+        # one-hop neighbourhood, extended to two hops per the reference
+        # (LocalMapping.cc:500-516).  Round-1 measured the second hop
+        # over-merging on repetitive texture; the fix is the per-merge
+        # reprojection gate in _fuse_into (fuse_chi2), not dropping the
+        # hop — distant-duplicate merging is what keeps long runs compact.
         targets: List[int] = []
         seen: Set[int] = {kf.kid}
-        for nkid in m.covisible_kfs(kf, 10):
+        one_hop = m.covisible_kfs(kf, 10)
+        for nkid in one_hop:
             if nkid not in seen:
                 seen.add(nkid)
                 targets.append(nkid)
+        if self.cfg.mapping.two_hop_fuse:
+            for nkid in one_hop:
+                nkf = m.keyframes.get(nkid)
+                if nkf is None:
+                    continue
+                for nnkid in m.covisible_kfs(nkf, 5):
+                    if nnkid not in seen:
+                        seen.add(nnkid)
+                        targets.append(nnkid)
         # forward: kf's points into each target
         mids = [int(x) for x in kf.mp_idx[kf.mp_idx >= 0]]
         for nkid in targets:
@@ -195,68 +217,158 @@ class LocalMapper:
             nmids.update(int(x) for x in nkf.mp_idx[nkf.mp_idx >= 0])
         self.n_fused += self._fuse_into(kf, sorted(nmids))
 
+    def _pack_points(self, mids: List[int]):
+        """Pack map points into padded device-shape arrays (slot i = mids[i]).
+        Returns (mids, pos, desc, valid, dmax, dmin, normal) or None."""
+        return pack_points(self.map, self.cfg.capacity.max_local_mp, mids)
+
     def _fuse_into(self, target: KeyFrame, mids: List[int]) -> int:
         """Fuse (ORBmatcher.cc:1431-1558): project points into `target`;
         matched keypoints either gain an observation or trigger a merge."""
+        return fuse_into(self.map, self.rig, self.cfg, self.scale_factors,
+                         self._level_scales, target, mids,
+                         cam_enabled=self._cam_enabled())
+
+    # ------------------------------------------------------------------
+    def _search_cross_cameras(self, kf: KeyFrame) -> None:
+        """LocalMapping::SearchCrossCameras (LocalMapping.cc:573-810): once
+        the map is metric, relocalize this keyframe's PRIMARY-camera features
+        against the SECONDARY-camera observations of covisible keyframes
+        (BoW query cam0 -> cam1 index), PnP-verify, widen by projection, and
+        attach/merge the matched points as camera-0 observations.
+
+        Points harvested here become cross-camera-observed
+        (mbViewdByDifCams) — the only observations through which BA's
+        extrinsic-adjoint factor can pin metric scale, so densifying them
+        is what makes the dual rig actually metric."""
         m = self.map
-        cap = self.cfg.capacity.max_local_mp
-        mids = [mid for mid in mids if mid in m.points][:cap]
-        if len(mids) < 5:
-            return 0
-        ncam = self.cfg.n_cameras
-        N = len(target.kp_valid) // ncam
-        pos = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        normal = np.zeros((cap, 3), np.float32)
-        dmin = np.zeros(cap, np.float32)
-        dmax = np.full(cap, 1e9, np.float32)
-        valid = np.zeros(cap, bool)
-        for i, mid in enumerate(mids):
-            mp = m.points[mid]
-            if mp.is_bad:
+        cfg = self.cfg
+        mc = cfg.mapping
+        if (not m.map_scaled or self.kfdb is None or self.voc is None or
+                cfg.n_cameras < 2 or kf.word is None):
+            return
+        if kf.kid <= self.last_cross_kid + mc.cross_kf_gap:
+            return
+        ncam = cfg.n_cameras
+        N = len(kf.kp_valid) // ncam
+        words = kf.word[:N]
+        vvalid = kf.kp_valid[:N] & (words >= 0)
+        if int(vvalid.sum()) < 20:
+            return
+        vec = np.asarray(bow.bow_vector(
+            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
+            jnp.asarray(vvalid)))
+        cands = self.kfdb.detect_reloc_candidates(
+            np.where(vvalid, words, -1), vec, 0, 1, m)
+        # candidates must already be covisibility-connected (:592-597)
+        connected = set(m.covisible_kfs(kf))
+        kept = [kid for kid in cands if kid in connected]
+        if cands:
+            self.events.append(
+                f"XC@{kf.kid} cands={cands[:6]} conn={kept[:6]}")
+        cands = kept
+        g1 = 1 * N
+        for kid in cands[:5]:
+            ckf = m.keyframes.get(kid)
+            if ckf is None or ckf.is_bad:
                 continue
-            pos[i] = mp.pos
-            desc[i] = mp.desc
-            normal[i] = mp.normal
-            dmin[i] = mp.min_dist
-            dmax[i] = mp.max_dist if mp.max_dist > 0 else 1e9
-            valid[i] = True
-        mp_of_kp = frontend.project_and_match(
-            jnp.asarray(target.T_cw.astype(np.float32)),
-            jnp.asarray(target.uv.reshape(ncam, N, 2).astype(np.float32)),
-            jnp.asarray(target.desc.reshape(ncam, N, 8).astype(np.uint32)),
-            jnp.asarray(target.level.reshape(ncam, N)),
-            jnp.asarray(target.kp_valid.reshape(ncam, N)),
-            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
-            jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
-            self.rig, jnp.float32(3.0), self._level_scales,
-            jnp.float32(self.cfg.matcher.th_low), jnp.float32(0.5),
-            self._cam_enabled())
-        mp_of_kp = np.asarray(mp_of_kp)
-        n = 0
-        for c in range(ncam):
-            for row in np.nonzero(mp_of_kp[c] >= 0)[0]:
-                mid = mids[int(mp_of_kp[c][row])]
+            res = frontend.match_bow_frame_kf(
+                jnp.asarray(kf.desc[:N].astype(np.uint32)),
+                jnp.asarray(kf.node[:N]),
+                jnp.asarray(kf.angle[:N]),
+                jnp.asarray(kf.kp_valid[:N]),
+                jnp.asarray(ckf.desc[g1:g1 + N].astype(np.uint32)),
+                jnp.asarray(ckf.node[g1:g1 + N]),
+                jnp.asarray(ckf.angle[g1:g1 + N]),
+                jnp.asarray(ckf.kp_valid[g1:g1 + N] &
+                            (ckf.mp_idx[g1:g1 + N] >= 0)),
+                jnp.float32(cfg.matcher.th_low),
+                jnp.float32(cfg.matcher.nn_ratio_bow))
+            idx = np.asarray(res.idx)
+            rows = np.nonzero(idx >= 0)[0]
+            if len(rows) < mc.cross_min_bow:
+                self.events.append(f"XCBOW@{kf.kid} cand={kid} n={len(rows)}")
+                continue
+            X, uv = [], []
+            for r in rows:
+                mid = int(ckf.mp_idx[g1 + idx[r]])
                 mp = m.points.get(mid)
                 if mp is None or mp.is_bad:
                     continue
-                g = c * N + int(row)
-                cur = int(target.mp_idx[g])
+                X.append(mp.pos)
+                uv.append(kf.uv[r])
+            if len(X) < mc.cross_min_bow:
+                continue
+            self.key, k = jax.random.split(self.key)
+            T_0w, inl, cnt, ok = ransac.pnp_ransac(
+                k, jnp.asarray(np.asarray(X, np.float32)),
+                jnp.asarray(np.asarray(uv, np.float32)),
+                jnp.ones(len(X), bool), self.rig.K[0])
+            if not bool(ok) or int(cnt) < mc.cross_min_pose_inliers:
+                self.events.append(
+                    f"XCPNP@{kf.kid} cand={kid} inl={int(cnt)}")
+                continue
+            # guided-projection widening + pose opt against the candidate's
+            # map-point set, camera 0 only (the reference's inner frame with
+            # identity extrinsic, :644-700).  Two passes: wide then narrow
+            # (SearchByProjectionOnCam th=10 then th=3, :710-737).
+            pmids = sorted({int(x) for x in ckf.mp_idx[ckf.mp_idx >= 0]})
+            packed = self._pack_points(pmids)
+            pmids, pos, desc, valid, dmax, dmin, normal = packed
+            if valid.sum() < mc.cross_min_pose_inliers:
+                continue
+            cam_en = np.zeros(ncam, bool)
+            cam_en[0] = True
+            T_cur = np.asarray(T_0w, np.float64)  # T_sc[0] = I: rig pose
+            r2 = None
+            for radius in (mc.cross_widen_radius, mc.cross_widen_radius2):
+                r2 = frontend.match_projection_pose(
+                    jnp.asarray(T_cur.astype(np.float32)),
+                    jnp.asarray(kf.uv.reshape(ncam, N, 2).astype(np.float32)),
+                    jnp.asarray(kf.desc.reshape(ncam, N, 8).astype(np.uint32)),
+                    jnp.asarray(kf.level.reshape(ncam, N)),
+                    jnp.asarray(kf.angle.reshape(ncam, N)),
+                    jnp.asarray(kf.kp_valid.reshape(ncam, N)),
+                    jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                    jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
+                    self.rig, jnp.float32(radius), self._level_scales,
+                    jnp.float32(cfg.matcher.th_high), jnp.float32(0.5),
+                    jnp.asarray(cam_en))
+                T_cur = np.asarray(r2.T_cw, np.float64)
+            n_good = int(r2.n_inliers)
+            if n_good < mc.cross_min_good:
+                self.events.append(
+                    f"XCGOOD@{kf.kid} cand={kid} good={n_good}")
+                continue
+            # harvest (:752-775): attach as cam-0 observations or merge
+            slots = np.asarray(r2.mp_ids)[0]
+            n_add = n_rep = 0
+            for row in np.nonzero(slots >= 0)[0]:
+                mid1 = pmids[int(slots[row])]
+                mp1 = m.points.get(mid1)
+                if mp1 is None or mp1.is_bad:
+                    continue
+                cur = int(kf.mp_idx[row])
                 if cur < 0:
-                    if target.kid not in mp.obs:
-                        m.add_observation(mp, target, g, c)
-                        n += 1
-                elif cur != mid:
-                    other = m.points.get(cur)
-                    if other is None or other.is_bad:
-                        continue
-                    # keep the more-observed point (MapPoint::Replace)
-                    if other.n_obs >= mp.n_obs:
-                        m.replace_point(mp, other)
-                    else:
-                        m.replace_point(other, mp)
-                    n += 1
-        return n
+                    if kf.kid not in mp1.obs:
+                        m.add_observation(mp1, kf, int(row), 0)
+                        n_add += 1
+                elif cur != mid1:
+                    mp2 = m.points.get(cur)
+                    if mp2 is not None and not mp2.is_bad:
+                        m.replace_point(mp2, mp1)
+                        n_rep += 1
+            m.update_connections(kf)
+            self.n_cross_harvested += n_add + n_rep
+            self.last_cross_kid = kf.kid
+            kf.connected_to_second_map = True
+            ckf.connected_to_second_map = True
+            self.cross_log = getattr(self, "cross_log", [])
+            self.cross_log.append((kf.kid, kid, n_good, n_add, n_rep))
+            self.events.append(
+                f"XCROSS@{kf.kid} cand={kid} good={n_good} "
+                f"add={n_add} rep={n_rep}")
+            return
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: KeyFrame) -> None:
@@ -316,3 +428,109 @@ class LocalMapper:
             if n_redundant > 0.9 * len(mids):
                 m.erase_keyframe(ckf)
                 self.n_culled_kf += 1
+
+
+# ----------------------------------------------------------------------
+# Module-level fuse primitives, shared by LocalMapper (SearchInNeighbors)
+# and LoopCloser (SearchAndFuse, LoopClosing.cc:703-733).
+
+def pack_points(m: Map, cap: int, mids: List[int]):
+    """Pack map points into padded device-shape arrays (slot i = mids[i])."""
+    mids = [mid for mid in mids if mid in m.points][:cap]
+    pos = np.zeros((cap, 3), np.float32)
+    desc = np.zeros((cap, 8), np.uint32)
+    normal = np.zeros((cap, 3), np.float32)
+    dmin = np.zeros(cap, np.float32)
+    dmax = np.full(cap, 1e9, np.float32)
+    valid = np.zeros(cap, bool)
+    for i, mid in enumerate(mids):
+        mp = m.points[mid]
+        if mp.is_bad:
+            continue
+        pos[i] = mp.pos
+        desc[i] = mp.desc
+        normal[i] = mp.normal
+        dmin[i] = mp.min_dist
+        dmax[i] = mp.max_dist if mp.max_dist > 0 else 1e9
+        valid[i] = True
+    return mids, pos, desc, valid, dmax, dmin, normal
+
+
+def fuse_into(m: Map, rig: CameraRig, cfg: SystemConfig,
+              scale_factors: np.ndarray, level_scales, target: KeyFrame,
+              mids: List[int], radius: float = 3.0,
+              cam_enabled=None) -> int:
+    """Fuse (ORBmatcher.cc:1431-1558): project points into `target`;
+    matched keypoints either gain an observation or trigger a merge."""
+    mids, pos, desc, valid, dmax, dmin, normal = pack_points(
+        m, cfg.capacity.max_local_mp, mids)
+    if len(mids) < 5 or valid.sum() < 5:
+        return 0
+    ncam = cfg.n_cameras
+    N = len(target.kp_valid) // ncam
+    if cam_enabled is None:
+        cam_enabled = jnp.ones((ncam,), bool)
+    mp_of_kp, _ = frontend.project_and_match(
+        jnp.asarray(target.T_cw.astype(np.float32)),
+        jnp.asarray(target.uv.reshape(ncam, N, 2).astype(np.float32)),
+        jnp.asarray(target.desc.reshape(ncam, N, 8).astype(np.uint32)),
+        jnp.asarray(target.level.reshape(ncam, N)),
+        jnp.asarray(target.kp_valid.reshape(ncam, N)),
+        jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+        jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
+        rig, jnp.float32(radius), level_scales,
+        jnp.float32(cfg.matcher.th_low), jnp.float32(0.5),
+        cam_enabled)
+    mp_of_kp = np.asarray(mp_of_kp)
+    T_sc = np.asarray(rig.T_sc)
+    Ks = np.asarray(rig.K)
+    sig2 = scale_factors ** 2
+    chi2_th = cfg.mapping.fuse_chi2
+
+    def reproj_chi2(p: np.ndarray, c: int, g: int) -> float:
+        """Reprojection chi2 of world point p at target keypoint g."""
+        T = T_sc[c] @ target.T_cw
+        x = T[:3, :3] @ p + T[:3, 3]
+        if x[2] < 1e-6:
+            return np.inf
+        u = Ks[c][0, 0] * x[0] / x[2] + Ks[c][0, 2]
+        v = Ks[c][1, 1] * x[1] / x[2] + Ks[c][1, 2]
+        e2 = (u - target.uv[g][0]) ** 2 + (v - target.uv[g][1]) ** 2
+        return float(e2 / sig2[int(target.level[g])])
+
+    n = 0
+    for c in range(ncam):
+        for row in np.nonzero(mp_of_kp[c] >= 0)[0]:
+            mid = mids[int(mp_of_kp[c][row])]
+            mp = m.points.get(mid)
+            if mp is None or mp.is_bad:
+                continue
+            g = c * N + int(row)
+            # the reference's Fuse accepts a candidate only under the
+            # chi2 reprojection gate (ORBmatcher.cc:1490-1505) — the
+            # descriptor window alone admits aliased matches
+            if reproj_chi2(mp.pos, c, g) > chi2_th:
+                continue
+            cur = int(target.mp_idx[g])
+            if cur < 0:
+                if target.kid not in mp.obs:
+                    m.add_observation(mp, target, g, c)
+                    n += 1
+            elif cur != mid:
+                other = m.points.get(cur)
+                if other is None or other.is_bad:
+                    continue
+                # merging collapses two 3D points into one — require the
+                # incumbent to ALSO reproject within the gate, else the
+                # match is aliasing distinct structure (repetitive
+                # texture) and merging would drag geometry (the round-1
+                # two-hop instability)
+                if reproj_chi2(other.pos, c, g) > chi2_th:
+                    continue
+                # keep the more-observed point (MapPoint::Replace)
+                if other.n_obs >= mp.n_obs:
+                    m.replace_point(mp, other)
+                else:
+                    m.replace_point(other, mp)
+                n += 1
+    return n

@@ -41,13 +41,18 @@ class System:
         self.voc = voc
         self.kfdb = (KeyFrameDatabase(cfg.n_cameras, voc.n_words)
                      if voc is not None else None)
+        if self.kfdb is not None:
+            # culling a keyframe must drop its inverted-file postings too,
+            # or reloc/loop queries return dead candidates (KeyFrame.cc:668)
+            self.map.on_erase_keyframe.append(self.kfdb.erase)
         self.loop_closer = None
         if enable_loop_closing and voc is not None:
             from orbslam2_dualcam_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.rig, self.map, self.kfdb,
                                           voc)
         self.mapper = LocalMapper(cfg, self.rig, self.map,
-                                  loop_closer=self.loop_closer)
+                                  loop_closer=self.loop_closer,
+                                  kfdb=self.kfdb, voc=voc)
         self._async = async_mapping
         self.map_lock = threading.Lock()
         if async_mapping:

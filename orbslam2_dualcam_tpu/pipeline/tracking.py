@@ -96,6 +96,7 @@ class Tracker:
         self._force_lost = False
         # dual-camera bootstrap state (Tracking.h:102-103 counters)
         self.cross_reloc_scales: List[float] = []
+        self.pending_cross: List[Tuple] = []   # pre-scale reloc anchors
         self.next_cross_try: int = 0
         self.last_reloc_cam_pose: Optional[np.ndarray] = None  # for viz
         # diagnostics (the reference has no tracing, SURVEY §5)
@@ -321,12 +322,22 @@ class Tracker:
         if n_final < cfg.tracker.min_matches_track:
             return False
 
-        # bookkeeping: found/visible counters
-        for mid in frame.mp_ids[frame.mp_ids >= 0]:
-            mp = self.map.points.get(int(mid))
+        # bookkeeping: found/visible counters.  The reference increments
+        # visible for every frustum-visible candidate in SearchLocalPoints
+        # and found only for tracked inliers (Tracking.cc:1617-1705) — that
+        # asymmetry is what makes the 0.25 found-ratio culling gate bite.
+        found_mids = {int(mid) for mid in frame.mp_ids[frame.mp_ids >= 0]}
+        vis_mids = set(found_mids)
+        if r3 is not None:
+            vis = np.asarray(r3.mp_visible)[:len(self._last_slot_mids)]
+            vis_mids.update(int(m) for m in
+                            self._last_slot_mids[np.nonzero(vis)[0]])
+        for mid in vis_mids:
+            mp = self.map.points.get(mid)
             if mp is not None:
                 mp.n_visible += 1
-                mp.n_found += 1
+                if mid in found_mids:
+                    mp.n_found += 1
 
         self.velocity = frame.T_cw @ np.linalg.inv(self.last.T_cw)
         self._update_ref_kid(frame)
@@ -343,8 +354,14 @@ class Tracker:
         if (self.cfg.n_cameras > 1 and self.kfdb is not None and
                 frame.frame_id >= self.next_cross_try):
             if self._try_cross_camera_reloc(frame):
-                self.next_cross_try = (frame.frame_id +
-                                       self.cfg.tracker.reloc_gap_try)
+                # during the bootstrap, anchor densely: every reloc at a
+                # new orientation grows the pair-LS signal |o_i - o_j|
+                gap = (self.cfg.tracker.reloc_gap_bootstrap
+                       if not self.map.map_scaled
+                       else self.cfg.tracker.reloc_gap_try)
+                self.next_cross_try = frame.frame_id + gap
+                if not self.map.map_scaled:
+                    self._anchor_cross_reloc(frame)
                 if (not self.map.map_scaled and
                         len(self.cross_reloc_scales) >=
                         self.cfg.tracker.num_frame_in_secondmap):
@@ -358,7 +375,8 @@ class Tracker:
         return True
 
     def _match_stage(self, frame: HostFrame, T_pred: np.ndarray,
-                     mids: np.ndarray, radius: float, max_hamming: float):
+                     mids: np.ndarray, radius: float, max_hamming: float,
+                     cam_enabled=None):
         """Pack map points `mids` into padded device arrays and run the
         jitted projection-match + pose-opt step."""
         cap = self.cfg.capacity.max_local_mp
@@ -393,7 +411,7 @@ class Tracker:
             jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
             self.rig, jnp.float32(radius), self._level_scales,
             jnp.float32(max_hamming), jnp.float32(0.5),
-            self._cam_enabled())
+            self._cam_enabled() if cam_enabled is None else cam_enabled)
         self._last_slot_mids = mids
         return res
 
@@ -498,7 +516,7 @@ class Tracker:
         self.map.add_keyframe(kf)
         return kf
 
-    def _create_keyframe(self, frame: HostFrame) -> None:
+    def _create_keyframe(self, frame: HostFrame) -> KeyFrame:
         kf = self._make_keyframe(frame, frame.T_cw)
         ncam, N = frame.valid.shape
         for c in range(ncam):
@@ -518,6 +536,33 @@ class Tracker:
             self._kfdb_add(kf)
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(kf)
+        return kf
+
+    def _anchor_cross_reloc(self, frame: HostFrame) -> None:
+        """Promote a PRE-scale cross-reloc frame to a keyframe and remember
+        its matched (row, map-point) pairs.  At second-map creation the
+        pairs are attached as secondary-camera observations — giving scale-
+        bearing anchors at every orientation the bootstrap visited.  With a
+        single anchor orientation, scale is first-order unobservable (a
+        rig-position shift absorbs the extrinsic offset error); the turn
+        phase's orientation diversity is what makes the joint
+        (scale, drift) solve well-posed (optim/scale_opt.anchored_map_scale).
+        The reference keeps only the final reloc (Tracking.cc:512-775) and
+        relies on NUM_SECONDMAP later keyframes instead."""
+        xr = getattr(self, "_last_xreloc", None)
+        if xr is None:
+            return
+        reloc_kid, pairs, T_1w, s_est = xr
+        kf = None
+        if self.last_kf_frame_id == frame.frame_id:
+            cand = self.map.keyframes.get(self.ref_kid)
+            if cand is not None and cand.frame_id == frame.frame_id:
+                kf = cand
+        if kf is None:
+            kf = self._create_keyframe(frame)
+        self.pending_cross.append((kf.kid, pairs, T_1w.copy(), s_est))
+        self.events.append(
+            f"XANCHOR@{frame.frame_id} kid={kf.kid} n={len(pairs)}")
 
     def _kfdb_add(self, kf: KeyFrame) -> None:
         if self.voc is None or self.kfdb is None:
@@ -597,10 +642,38 @@ class Tracker:
                     f"inl={int(cnt)}")
                 continue
             T_1w = np.asarray(T_1w, np.float64)
+            # refine: project the reloc region's local map into the query
+            # camera from the PnP pose and re-optimize, widening rounds as
+            # the reference's RelocalizationPartialOnCam does
+            # (PoseOptimization + SearchByProjectionOnCam, Tracking.cc:
+            # 850-1010).  The raw 4-point RANSAC pose has a camera-center
+            # error of several baselines — useless for scale.
+            region_mids = self._region_map_points(kf)
+            cam_en = np.zeros(ncam, bool)
+            cam_en[query_cam] = True
+            T_rig_impl = np.asarray(self.rig.T_cs)[query_cam] @ T_1w
+            rbest = None
+            T_cur = T_rig_impl
+            for radius in (10.0, 4.0):
+                r = self._match_stage(frame, T_cur, region_mids,
+                                      radius=radius,
+                                      max_hamming=float(
+                                          self.cfg.matcher.th_low),
+                                      cam_enabled=jnp.asarray(cam_en))
+                if r is None:
+                    break
+                T_cur = np.asarray(r.T_cw, np.float64)
+                rbest = r
+            if rbest is None or int(rbest.n_inliers) < int(cnt):
+                self.events.append(
+                    f"XREF@{frame.frame_id} kf={kid} refine failed")
+                continue
+            n_good = int(rbest.n_inliers)
+            T_1w = np.asarray(self.rig.T_sc)[query_cam] @ T_cur
             # rotation consistency: the reloc'd camera-1 orientation must
             # agree with the tracked rig pose composed through the
             # extrinsic — scale cannot corrupt rotation, so a mismatch
-            # means a bad PnP pose (prunes the scale-estimate outliers)
+            # means a bad pose (prunes the scale-estimate outliers)
             R_exp = (np.asarray(self.rig.T_sc)[query_cam][:3, :3] @
                      frame.T_cw[:3, :3])
             cos_r = (np.trace(T_1w[:3, :3] @ R_exp.T) - 1.0) / 2.0
@@ -608,27 +681,39 @@ class Tracker:
                 self.events.append(
                     f"XROT@{frame.frame_id} kf={kid} cos={cos_r:.3f}")
                 continue
-            # camera-1 center in (unscaled) map units
+            # scale = |t_extrinsic| / |C1_map - C0_map| (Tracking.cc:
+            # 1014-1029), from the REFINED camera center
             c1_map = -T_1w[:3, :3].T @ T_1w[:3, 3]
-            # camera-0 center from the CURRENT tracked rig pose
             c0_map = -frame.T_cw[:3, :3].T @ frame.T_cw[:3, 3]
             d_map = float(np.linalg.norm(c1_map - c0_map))
             baseline = float(np.linalg.norm(
                 np.asarray(self.rig.T_sc)[query_cam][:3, 3]))
-            if d_map < 1e-6 or baseline < 1e-9:
+            if d_map < 1e-9 or baseline < 1e-9:
                 continue
             scale = baseline / d_map
+            # matched pairs from the refined projection stage (query-camera
+            # rows), for cross-observation attachment
+            mids_final = self._slots_to_mids(rbest)[query_cam]
+            inlier_pairs = [(int(rf), int(mid)) for rf, mid in
+                            enumerate(mids_final) if mid >= 0]
             self.cross_reloc_scales.append(scale)
             self.last_reloc_cam_pose = T_1w
-            inl_np = np.asarray(inl)
-            self._last_xreloc = (
-                kid, [p for p, keep in zip(pairs, inl_np) if keep],
-                T_1w, scale)
+            self._last_xreloc = (kid, inlier_pairs, T_1w, scale)
             self.events.append(
-                f"XRELOC@{frame.frame_id} kf={kid} n={int(cnt)} "
+                f"XRELOC@{frame.frame_id} kf={kid} n={n_good} "
                 f"s={scale:.4f}")
             return True
         return False
+
+    def _region_map_points(self, kf: KeyFrame) -> np.ndarray:
+        """Local map of keyframe `kf`'s region: its points plus those of its
+        best covisible neighbours."""
+        mids = {int(x) for x in kf.mp_idx[kf.mp_idx >= 0]}
+        for nkid in self.map.covisible_kfs(kf, 10):
+            nkf = self.map.keyframes.get(nkid)
+            if nkf is not None:
+                mids.update(int(x) for x in nkf.mp_idx[nkf.mp_idx >= 0])
+        return np.asarray(sorted(mids), np.int64)
 
     def _apply_scale(self, s: float, frame: HostFrame) -> None:
         """Multiply the whole state (map + tracking) by scale s."""
@@ -641,6 +726,20 @@ class Tracker:
         if self.velocity is not None:
             self.velocity = self.velocity.copy()
             self.velocity[:3, 3] *= s
+        # keep the pending cross-reloc poses/scales in the new units so the
+        # frontier warp and anchor attaches stay consistent post-rescale
+        xr = getattr(self, "_last_xreloc", None)
+        if xr is not None:
+            kid, pairs, T_1w, s_est = xr
+            T_1w = T_1w.copy()
+            T_1w[:3, 3] *= s
+            self._last_xreloc = (kid, pairs, T_1w, s_est / s)
+        rescaled = []
+        for kid, pairs, T_1w, s_est in self.pending_cross:
+            T_1w = T_1w.copy()
+            T_1w[:3, 3] *= s
+            rescaled.append((kid, pairs, T_1w, s_est / s))
+        self.pending_cross = rescaled
         for mp in self.map.points.values():
             update_point_stats(mp, self.map, np.asarray(self.rig.T_sc),
                                self.scale_factors)
@@ -691,34 +790,38 @@ class Tracker:
                 g = c * N + int(row)
                 if kf.mp_idx[g] < 0 and kf.kid not in mp.obs:
                     self.map.add_observation(mp, kf, g, c)
-        n_att = self._attach_cross_observations(frame, kf)
         self.map.update_connections(kf)
-        self.map.first_scale_kid = kf.kid
-        self.ref_kid = kf.kid
-        self.last_kf_frame_id = frame.frame_id
-        self.events.append(f"XKF@{frame.frame_id} kid={kf.kid} att={n_att}")
 
-        # Frontier scale-drift correction.  The |t_sc|/|dC| estimate is the
-        # RELATIVE scale between the reloc'd (metric) region and the
-        # current frontier, so a global rescale cannot fix it; instead
-        # treat the cross-reloc as a Sim3 loop closure: snap this keyframe
-        # to the metric pose implied by the relocalization, carry its
-        # covisible window along with the relative scale folded into Scw,
-        # and let the essential graph redistribute (the dual-camera analog
-        # of CorrectLoop, sharing its machinery).
-        # Sim3 frontier warp: EXPERIMENTAL, default off.  Measured on the
-        # demo scenario: the warp's Sim3 (one ~30-point PnP) is too noisy
-        # and the essential graph partially reverts it, destabilizing
-        # tracking; needs a better-conditioned Scw (multi-reloc fusion)
-        # before it can be enabled.  Set enable_frontier_warp=True to test.
-        if (xreloc is not None and allow_warp and
-                getattr(self, "enable_frontier_warp", False)):
+        # Frontier drift correction BEFORE attaching observations.  The
+        # cross-reloc pins the rig's pose relative to the (metric) old
+        # region; the tracked pose has drifted away from it by accumulated
+        # mono error.  If cross observations were attached at the DRIFTED
+        # pose, bundle adjustment and the 1-DoF scale solve would absorb
+        # that pose gap into the map scale — measured: the map deforms
+        # into a self-consistent equilibrium at the wrong metric scale.
+        # So first treat the reloc as a Sim3 loop closure: snap this
+        # keyframe to the reloc-implied pose with the relative scale folded
+        # into Scw, carry its covisible window, and let the essential graph
+        # redistribute (the dual-camera analog of CorrectLoop, sharing its
+        # machinery); only then attach.
+        # Round-1 shipped the warp off by default: the pose-graph remap
+        # then double-transformed the window's points (see
+        # optim/pose_graph.py corrected_mids) which gutted the local map
+        # after every warp — with that bug fixed the warp is on by default.
+        if xreloc is not None and allow_warp:
             reloc_kid, _, T_1w, s_est = xreloc
             reloc_kf = self.map.keyframes.get(reloc_kid)
+            T_impl = np.asarray(self.rig.T_cs)[1] @ T_1w
+            c_impl = -T_impl[:3, :3].T @ T_impl[:3, 3]
+            c_trk = -kf.T_cw[:3, :3].T @ kf.T_cw[:3, 3]
+            gap = float(np.linalg.norm(c_impl - c_trk))
+            baseline = float(np.linalg.norm(
+                np.asarray(self.rig.T_sc)[1][:3, 3]))
+            self.events.append(
+                f"XGAP@{frame.frame_id} s={s_est:.4f} gap={gap:.4f}")
             if (reloc_kf is not None and 0.3 < s_est < 3.0 and
-                    abs(s_est - 1.0) > 0.08):
-                T_impl = np.asarray(self.rig.T_cs)[1] @ T_1w
-                s0 = 1.0 / s_est
+                    (abs(s_est - 1.0) > 0.05 or gap > 0.1 * baseline)):
+                s0 = 1.0 / s_est if abs(s_est - 1.0) > 0.05 else 1.0
                 Scw = np.eye(4)
                 Scw[:3, :3] = s0 * T_impl[:3, :3]
                 Scw[:3, 3] = s0 * T_impl[:3, 3]
@@ -730,47 +833,154 @@ class Tracker:
                 frame.T_cw = kf.T_cw.copy()
                 self.velocity = None
                 self.events.append(
-                    f"XWARP@{frame.frame_id} s={s_est:.4f}")
+                    f"XWARP@{frame.frame_id} s={s_est:.4f} gap={gap:.4f}")
+
+        n_att = self._attach_cross_observations(frame, kf)
+        self.map.update_connections(kf)
+        self.map.first_scale_kid = kf.kid
+        self.ref_kid = kf.kid
+        self.last_kf_frame_id = frame.frame_id
+        self.events.append(f"XKF@{frame.frame_id} kid={kf.kid} att={n_att}")
+
+        # Re-solve the 1-DoF global scale NOW, while the freshly attached
+        # cross edges are still strained by the map's true scale error.
+        # Running it after local BA is too late: bundle adjustment slides
+        # the (depth-slack) points along their camera-0 rays until both
+        # cameras are satisfied at the CURRENT scale — measured on the
+        # bootstrap scenario, that equilibrium freezes a residual 2x error
+        # that no later estimator can see (all of them read the dragged
+        # points as "metric").  Fresh first-observation edges are the only
+        # unpoisoned scale signal; harvest them first.
+        self._refine_scale(frame, "attach")
 
         if self.kfdb is not None:
             self._kfdb_add(kf)
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(kf)
+        # ... and once more after the mapper's own cross-camera harvest
+        # added further edges (no-op when BA already settled them)
+        self._refine_scale(frame, "xkf")
+
+    def _refine_scale(self, frame: HostFrame, where: str) -> None:
+        """1-DoF global-scale refinement over the map's cross-camera edges
+        (optim/scale_opt.optimal_map_scale).  Mono cost is scale-invariant,
+        so this moves exactly the similarity mode LM cannot efficiently
+        reach.  Only informative while the cross edges are still strained
+        (right after attach); once BA has settled the map the curve's
+        minimum sits at 1.0 and this is a no-op.
+
+        Iterated because the robust (Huber) cost saturates far-out edges:
+        after applying a first alpha the re-linearized curve can reveal
+        more headroom (bootstrap-size errors are 2-6x)."""
+        from orbslam2_dualcam_tpu.optim import scale_opt
+        for _ in range(4):
+            res = scale_opt.optimal_map_scale(self.map, self.rig,
+                                              self.scale_factors ** 2,
+                                              alpha_lo=0.15, alpha_hi=8.0,
+                                              n_grid=129)
+            if res is None:
+                return
+            alpha, n_e = res
+            if abs(alpha - 1.0) < 0.005:
+                return
+            self._apply_scale(alpha, frame)
+            self.events.append(
+                f"ALPHA@{frame.frame_id} a={alpha:.4f} n={n_e} {where}")
 
     def _create_second_map(self, frame: HostFrame) -> None:
-        """CreateSecondMapMultical (Tracking.cc:512-775): average the
-        collected scale estimates, rescale EVERY keyframe and map point to
-        metric units, pin the scale gauge, and run a global BA in which the
-        sibling camera's extrinsic-baseline observations now constrain the
-        absolute scale."""
-        # self-consistency gate: the per-reloc estimates carry map-noise
-        # level error (baseline ~ noise at 10cm); only commit to a scale
-        # when the surviving estimates agree, otherwise drop the most
-        # discrepant and keep collecting
-        ests = np.asarray(self.cross_reloc_scales, np.float64)
-        med0 = float(np.median(ests))
-        rel = np.abs(ests - med0) / max(med0, 1e-9)
-        keep = rel < 0.35
-        if keep.sum() < self.cfg.tracker.num_frame_in_secondmap:
-            worst = int(np.argmax(rel))
-            self.cross_reloc_scales.pop(worst)
-            self.events.append(
-                f"XSPREAD@{frame.frame_id} ests={np.round(ests, 3).tolist()}")
-            return
-        s = float(np.median(ests[keep]))
-        n_used = int(keep.sum())
+        """CreateSecondMapMultical (Tracking.cc:512-775): estimate the
+        metric scale from the bootstrap cross-reloc anchors, rescale EVERY
+        keyframe and map point to metric units, pin the scale gauge, and
+        run a global BA in which the sibling camera's extrinsic-baseline
+        observations now constrain the absolute scale.
+
+        Scale estimation departs from the reference's mean of per-reloc
+        |t_sc|/|dC| ratios (Tracking.cc:512-560): that ratio-of-norms is
+        systematically biased small when the camera-center noise rivals
+        the ~10cm baseline.  We fit the unbiased vector pair-LS over all
+        anchors instead (scale_opt.bootstrap_scale) and only commit once
+        its confidence gate passes — collecting more anchors otherwise."""
+        from orbslam2_dualcam_tpu.optim import scale_opt
         m = self.map
+        anchors = []
+        for kid_a, pairs, T1w, s_est in self.pending_cross:
+            kfa = m.keyframes.get(kid_a)
+            if kfa is None:
+                continue
+            anchors.append(dict(T1w=T1w, T_track=kfa.T_cw,
+                                frame_id=kfa.frame_id))
+        ests = np.asarray(self.cross_reloc_scales, np.float64)
+        med = float(np.median(ests)) if len(ests) else 0.0
+        res = scale_opt.bootstrap_scale(anchors,
+                                        np.asarray(self.rig.T_sc)[1])
+        if res is not None:
+            alpha, rel, n_pairs = res
+            self.events.append(
+                f"XLS@{frame.frame_id} a={alpha:.4f} rel={rel:.3f} "
+                f"n={len(anchors)} med={med:.4f}")
+        # Commit policy.  Confident LS (rel sigma under the gate) commits
+        # immediately; otherwise wait for a few more anchors but never past
+        # `scale_max_anchors` — the bootstrap trajectory's reloc window is
+        # finite, and a decent early scale PLUS the post-scale machinery
+        # (XWARP pose snapping, SearchCrossCameras harvest, the 1-DoF
+        # cross-edge ALPHA refine, cross-edge-protected BA) beats waiting
+        # for a certainty the geometry may never provide.  The reference
+        # itself commits the plain mean ratio after NUM_FRAME_IN_SECONDMAP
+        # relocs (Tracking.cc:548-560).
+        confident = res is not None and res[1] <= \
+            self.cfg.tracker.scale_rel_sigma
+        if not confident and len(anchors) < \
+                self.cfg.tracker.scale_max_anchors:
+            return          # keep collecting anchors
+        # sanity: the unbiased estimate should not be wildly outside the
+        # (biased-small) ratio estimates' range; fall back to the
+        # reference's averaged ratio otherwise (Tracking.cc:548-560)
+        s, n_used = med, len(ests)
+        if res is not None and 0.2 < res[0] < 25.0 and res[0] > 0.3 * med:
+            s, n_used = res[0], len(anchors)
+        if not (0.05 < s < 100.0):
+            self.cross_reloc_scales.clear()
+            self.pending_cross.clear()
+            return
         self._apply_scale(s, frame)
         m.map_scaled = True
         for kf in m.keyframes.values():
             kf.scaled = True
         self.cross_reloc_scales.clear()
         self.events.append(f"SCALED@{frame.frame_id} s={s:.4f} n={n_used}")
+        # attach every bootstrap anchor's matches as secondary-camera
+        # observations of its keyframe — the orientation-diverse scale
+        # anchors collected by _anchor_cross_reloc
+        N = frame.n
+        for kid_a, pairs, _T1w, _sa in self.pending_cross:
+            kfa = m.keyframes.get(kid_a)
+            if kfa is None:
+                continue
+            n_att_a = 0
+            for rf, mid in pairs:
+                mp = m.points.get(mid)
+                if mp is None or mp.is_bad:
+                    continue
+                g = 1 * N + rf
+                if kfa.mp_idx[g] < 0 and kid_a not in mp.obs:
+                    m.add_observation(mp, kfa, g, 1)
+                    n_att_a += 1
+            kfa.connected_to_second_map = True
+            m.update_connections(kfa)
+            self.events.append(
+                f"XATTACH@{frame.frame_id} kid={kid_a} n={n_att_a}")
+        self.pending_cross.clear()
+        # the anchors' fresh cross edges carry the full remaining scale
+        # error — solve it NOW, before any BA can drag the points into a
+        # wrong-scale equilibrium (see _adjust_second_map)
+        self._refine_scale(frame, "boot")
         # promote the current frame to the first second-map keyframe with
         # the cross-camera observations attached (they are what anchors
-        # metric scale in BA).  No Sim3 warp here: the stored reloc pose
-        # predates the global rescale just applied from these estimates.
-        self._adjust_second_map(frame, allow_warp=False)
+        # metric scale in BA); _apply_scale re-expressed the stored reloc
+        # pose in the new units, so the frontier warp can run here too —
+        # the FIRST attach is precisely where a pose gap would otherwise
+        # get baked into the map scale
+        self._adjust_second_map(frame, allow_warp=True)
         # ... then a metric global BA re-settles everything around the new
         # gauge (CreateSecondMapMultical's GBA, Tracking.cc:733)
         from orbslam2_dualcam_tpu.pipeline import ba_pack

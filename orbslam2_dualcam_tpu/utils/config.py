@@ -139,6 +139,41 @@ class TrackerConfig:
     min_matches_motion: int = 20
     local_kf_limit: int = 80         # local-map KF cap (Tracking.cc:1806)
     kf_ref_ratio: float = 0.9        # thRefRatio for mono KF decision
+    # dual-scale bootstrap (CreateSecondMapMultical analog).  Once the
+    # first cross-reloc succeeds, retry every `reloc_gap_bootstrap` frames
+    # to collect orientation-diverse scale anchors quickly; commit the
+    # scale when the unbiased pair-LS estimate (scale_opt.bootstrap_scale)
+    # reaches relative sigma `scale_rel_sigma`, or unconditionally at
+    # `scale_max_anchors` anchors.
+    reloc_gap_bootstrap: int = 2
+    scale_rel_sigma: float = 0.15
+    scale_max_anchors: int = 8
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local-mapping policy (reference: LocalMapping.cc).
+
+    The cross-camera harvest gates default to the reference's constants,
+    which assume its 1300-features/camera budget (LocalMapping.cc:622,703,
+    745); configs with smaller feature budgets should scale them down
+    proportionally."""
+
+    cross_kf_gap: int = 5            # KFs between harvests (LocalMapping.cc:578)
+    cross_min_bow: int = 50          # BoW match entry gate (:622)
+    cross_min_pose_inliers: int = 10 # first pose-opt gate (:703)
+    cross_min_good: int = 70         # acceptance threshold (:745)
+    cross_widen_radius: float = 10.0 # first widening window px (:710)
+    cross_widen_radius2: float = 3.0 # second, narrower widening (:728)
+    two_hop_fuse: bool = True        # SearchInNeighbors 2nd hop (:500-516)
+    fuse_chi2: float = 5.991         # reprojection gate for fuse merges
+    # MapPointCulling found/visible gate (LocalMapping.cc:221).  The
+    # reference's 0.25 assumes its feature budget (1300/cam) comfortably
+    # exceeds the visible local-map density; when the budget is smaller
+    # than the typically-visible point count, good points structurally sit
+    # below 0.25 (only ~n_features of the visible points CAN be found each
+    # frame) — scale this gate down accordingly.
+    cull_found_ratio: float = 0.25
 
 
 @dataclass(frozen=True)
@@ -188,6 +223,7 @@ class SystemConfig:
     init: InitConfig = field(default_factory=InitConfig)
     ba: BAConfig = field(default_factory=BAConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
     vocab: VocabConfig = field(default_factory=VocabConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)

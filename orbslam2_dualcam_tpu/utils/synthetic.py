@@ -167,13 +167,24 @@ def render_rig(world: World, rig_K: np.ndarray, rig_T_sc: np.ndarray,
 def out_and_back_trajectory(n_out: int = 30, n_turn: int = 30,
                             n_back: int = 30, x0: float = -3.0,
                             x1: float = 3.0,
-                            turn_radius: float = 1.0) -> list[np.ndarray]:
+                            turn_radius: float = 1.0,
+                            n_turn2: int = 0,
+                            n_out2: int = 0) -> list[np.ndarray]:
     """Dual-camera bootstrap scenario: crab-walk along x facing the +z wall,
     U-turn (an arc — rotation WITH baseline, since pure in-place rotation
     is untriangulatable for a monocular front end), crab-walk back.  On the
     return leg the BACK camera faces +z and re-sees, from nearby spots and
     the same direction, what the front camera mapped on the way out — the
-    cross-camera relocalization setting of the reference's demo sequence."""
+    cross-camera relocalization setting of the reference's demo sequence.
+
+    With `n_turn2`/`n_out2` the rig makes a second U-turn at the far end
+    and heads out again.  The second turn pans the back camera across the
+    already-mapped walls through a full half-circle of rig orientations —
+    the orientation diversity that makes the metric scale observable to
+    the bootstrap pair-LS (scale_opt.bootstrap_scale): the extrinsic
+    offset o(R) rotates with the rig while odometry fixes the center
+    displacements, so anchor pairs far apart in yaw carry the strongest
+    scale signal."""
     import jax.numpy as jnp
     poses = []
 
@@ -192,6 +203,12 @@ def out_and_back_trajectory(n_out: int = 30, n_turn: int = 30,
         poses.append(pose(x1 + r * np.sin(th), r * (1 - np.cos(th)), th))
     for k in range(1, n_back + 1):
         poses.append(pose(x1 + (x0 - x1) * k / n_back, 2 * r, np.pi))
+    for k in range(1, n_turn2 + 1):
+        th = np.pi * k / n_turn2
+        poses.append(pose(x0 - r * np.sin(th), 2 * r + r * (1 - np.cos(th)),
+                          np.pi + th))
+    for k in range(1, n_out2 + 1):
+        poses.append(pose(x0 + (x1 - x0) * k / n_out2, 4 * r, 0.0))
     return poses
 
 

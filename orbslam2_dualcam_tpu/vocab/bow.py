@@ -83,17 +83,25 @@ class Vocabulary(NamedTuple):
     contiguously (node n's children occupy rows n*k .. n*k+k-1; unused rows
     are filled with the parent centroid so argmin stays in-branch).
     idf: [n_words] float32 tf-idf word weights.
+
+    word_map: optional [k^depth] int32 mapping final-level slots to word
+    ids — identity when None.  DBoW2 trees are ragged (clusters smaller
+    than k stop early, TemplatedVocabulary.h:251-276); the ORBvoc loader
+    (vocab/orbvoc.py) propagates shallow leaves down to full depth, so
+    several final slots can share one word id and the map resolves them.
     """
 
     branching: int
     depth: int
     centroids: tuple          # tuple of jnp [k^(l+1), 8] uint32 per level
-    idf: jax.Array            # [branching**depth]
+    idf: jax.Array            # [n_words]
     direct_level: int         # FeatureVector node level (levels from root)
+    word_map: Optional[jax.Array] = None   # [k^depth] int32 slot -> word
+    n_words_leaves: int = 0   # actual word count (0 -> k^depth)
 
     @property
     def n_words(self) -> int:
-        return self.branching ** self.depth
+        return self.n_words_leaves or self.branching ** self.depth
 
 
 def train_vocabulary(desc: np.ndarray, branching: int = 10, depth: int = 4,
@@ -146,10 +154,15 @@ def train_vocabulary(desc: np.ndarray, branching: int = 10, depth: int = 4,
 
 
 def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    extra = {}
+    if voc.word_map is not None:
+        extra["word_map"] = np.asarray(voc.word_map)
     np.savez_compressed(
         path, branching=voc.branching, depth=voc.depth,
         direct_level=voc.direct_level, idf=np.asarray(voc.idf),
-        **{f"level_{i}": np.asarray(c) for i, c in enumerate(voc.centroids)})
+        n_words_leaves=voc.n_words_leaves,
+        **{f"level_{i}": np.asarray(c) for i, c in enumerate(voc.centroids)},
+        **extra)
 
 
 def load_vocabulary(path: str) -> Vocabulary:
@@ -158,7 +171,10 @@ def load_vocabulary(path: str) -> Vocabulary:
     return Vocabulary(
         branching=int(z["branching"]), depth=depth,
         centroids=tuple(jnp.asarray(z[f"level_{i}"]) for i in range(depth)),
-        idf=jnp.asarray(z["idf"]), direct_level=int(z["direct_level"]))
+        idf=jnp.asarray(z["idf"]), direct_level=int(z["direct_level"]),
+        word_map=(jnp.asarray(z["word_map"]) if "word_map" in z else None),
+        n_words_leaves=int(z["n_words_leaves"])
+        if "n_words_leaves" in z else 0)
 
 
 # ---------------------------------------------------------------------------
@@ -170,23 +186,28 @@ def quantize(voc: Vocabulary, desc: jax.Array):
 
     Returns (word [N] int32, node [N] int32) where `node` is the tree node
     id at `direct_level` (the FeatureVector grouping used for match gating,
-    Frame.cc:393-408).  Each level is ONE masked Hamming-argmin over that
-    level's flattened centroids — batched for all descriptors."""
+    Frame.cc:393-408).
+
+    Each level GATHERS every descriptor's k candidate children [N, k, 8]
+    and resolves the argmin with XOR+popcount on the VPU — O(N*k*L) work
+    independent of tree width, so an ORBvoc-scale tree (k=10, L=6, 1e6
+    words) costs the same per level as a toy one.  (A dense Hamming
+    matmul over a level's full centroid matrix would be O(N * k^(l+1)) —
+    1.3e9 entries at the final ORBvoc level.)"""
     k = voc.branching
     n = desc.shape[0]
     node = jnp.zeros(n, jnp.int32)
     direct = jnp.zeros(n, jnp.int32)
     for level, cents in enumerate(voc.centroids):
-        D = matching.hamming_matrix(desc, cents)         # [N, k^(level+1)]
-        # restrict to the current node's k children
-        cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
-        child_lo = node[:, None] * k
-        allowed = (cols >= child_lo) & (cols < child_lo + k)
-        Dm = jnp.where(allowed, D, matching.INF)
-        node = jnp.argmin(Dm, axis=1).astype(jnp.int32)
+        child_idx = node[:, None] * k + jnp.arange(k)[None, :]   # [N, k]
+        cand = cents[child_idx]                                  # [N, k, 8]
+        d = jax.lax.population_count(
+            cand ^ desc[:, None, :]).sum(-1)                     # [N, k]
+        node = (node * k + jnp.argmin(d, axis=1).astype(jnp.int32))
         if level + 1 == voc.direct_level:
             direct = node
-    return node, direct     # final-level node id == word id
+    word = node if voc.word_map is None else voc.word_map[node]
+    return word, direct
 
 
 class BowVector(NamedTuple):

@@ -13,6 +13,8 @@ from orbslam2_dualcam_tpu.utils.yaml_config import load_rig_yaml
 REF_YAML = "/root/reference/Dual-LenaCV.yaml"
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.mark.skipif(not os.path.exists(REF_YAML), reason="no reference yaml")
 def test_load_reference_yaml():
     cfg = load_rig_yaml(REF_YAML)

@@ -8,14 +8,20 @@ import pytest
 from orbslam2_dualcam_tpu.pipeline.system import System
 from orbslam2_dualcam_tpu.utils import metrics, synthetic
 from orbslam2_dualcam_tpu.utils.config import (CameraConfig, CapacityConfig,
+                                               MappingConfig,
                                                OrbConfig, SystemConfig)
 
+
+pytestmark = pytest.mark.slow
 
 def small_cfg():
     return SystemConfig(
         cameras=(CameraConfig(width=320, height=240, fx=260, fy=260,
                               cx=160, cy=120),),
         orb=OrbConfig(n_features=400, n_levels=4),
+        # 400 feats/cam vs ~1k visible local points: scale the
+        # found-ratio cull gate down per MappingConfig's budget rule
+        mapping=MappingConfig(cull_found_ratio=0.1),
         capacity=CapacityConfig(max_local_mp=2048),
     )
 
