@@ -1,0 +1,84 @@
+"""Evaluate mono SLAM on the real-texture planar-room sequence.
+
+The sequence mounts a real photograph (doc/dual_camera_model.jpg from the
+reference repo) on the walls of a room and produces every frame with
+cv2.warpPerspective under the exact plane-induced homography — real image
+statistics with exact ground truth, independent of the synthetic renderer
+the unit tests use (utils/datasets.py).  Mirrors the role of the
+reference's indoor_lab_loop.avi demo (README.md:54-60); for actual TUM
+sequences use --tum <dir> (utils/datasets.TumRgbDataset).
+
+Usage:
+  python examples/eval_real_texture.py [--frames N] [--tum DIR]
+Prints ATE RMSE (Sim3 and SE3 alignment) against ground truth.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from orbslam2_dualcam_tpu.pipeline.system import System  # noqa: E402
+from orbslam2_dualcam_tpu.utils import datasets, metrics, synthetic  # noqa: E402
+from orbslam2_dualcam_tpu.utils.config import (CameraConfig,  # noqa: E402
+                                               CapacityConfig, MappingConfig,
+                                               OrbConfig, SystemConfig)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tum", default=None, help="TUM RGB sequence dir")
+    ap.add_argument("--n-features", type=int, default=400)
+    args = ap.parse_args()
+
+    cfg = SystemConfig(
+        cameras=(CameraConfig(width=320, height=240, fx=260, fy=260,
+                              cx=160, cy=120),),
+        orb=OrbConfig(n_features=args.n_features, n_levels=4),
+        mapping=MappingConfig(cull_found_ratio=0.1),
+        capacity=CapacityConfig(max_local_mp=2048))
+
+    sys_ = System(cfg, voc=None, enable_loop_closing=False)
+    gt_of_frame = {}
+    if args.tum:
+        ds = datasets.TumRgbDataset.load(args.tum)
+        for i, (ts, _) in enumerate(ds.frames):
+            img = ds.read(i)
+            sys_.track(img[None], ts)
+            c = ds.gt_center_at(ts)
+            if c is not None:
+                gt_of_frame[i] = c
+    else:
+        K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]])
+        poses = synthetic.out_and_back_trajectory(n_out=26, n_turn=30,
+                                                  n_back=26)
+        for i, (img, T) in enumerate(
+                datasets.planar_photo_sequence(poses, K)):
+            sys_.track(img[None], i / 30.0)
+            gt_of_frame[i] = -T[:3, :3].T @ T[:3, 3]
+
+    est, gt = [], []
+    for kid in sorted(sys_.map.keyframes):
+        kf = sys_.map.keyframes[kid]
+        if kf.frame_id in gt_of_frame:
+            est.append(kf.center())
+            gt.append(gt_of_frame[kf.frame_id])
+    est, gt = np.asarray(est), np.asarray(gt)
+    ate_sim3 = metrics.ate_rmse(est, gt, with_scale=True)
+    ate_se3 = metrics.ate_rmse(est, gt, with_scale=False)
+    span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    print(f"keyframes: {len(est)}  span: {span:.2f} m")
+    print(f"ATE RMSE (Sim3 align): {ate_sim3:.4f} m "
+          f"({100 * ate_sim3 / span:.2f}% of span)")
+    print(f"ATE RMSE (SE3 align):  {ate_se3:.4f} m")
+
+
+if __name__ == "__main__":
+    main()

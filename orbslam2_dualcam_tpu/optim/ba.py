@@ -195,3 +195,41 @@ def solve_ba(prob: BAProblem, T_sc: jax.Array, adj_sc: jax.Array,
     r, _, _, _, chi2 = _build_system(p2, T_sc, adj_sc, Ks, jnp.bool_(False),
                                      delta2)
     return BAResult(poses=poses, points=points, edge_chi2=chi2, cost=cost)
+
+
+def solve_ba_chunked(prob: BAProblem, T_sc, adj_sc, Ks, iters: int,
+                     chunk: int = 4, should_abort=None,
+                     unlock=None, relock=None,
+                     cfg: BAConfig = BAConfig(),
+                     cg_iters: int = 24, robust: bool = True) -> BAResult:
+    """Abortable LM: run `iters` in fixed-size jitted chunks, checking
+    `should_abort()` between chunks (the reference's mbAbortBA flag that
+    LocalMapping::InterruptBA raises when a new keyframe arrives,
+    LocalMapping.cc:97-108, Optimizer.cc:483).  `unlock`/`relock` bracket
+    the device solve so a concurrently-tracking thread can use the map
+    while the chunk executes (pipeline/system.py passes the map lock).
+
+    Chunk size is static so all chunks share one XLA executable; the LM
+    damping restarts per chunk (accept/reject inside solve_ba keeps each
+    chunk monotone, so a restart only costs a few extra inner iterations).
+    """
+    done = 0
+    res = None
+    cur = prob
+    while done < iters:
+        n = min(chunk, iters - done)
+        if unlock is not None:
+            unlock()
+        try:
+            step = solve_ba(cur, T_sc, adj_sc, Ks, iters=n, cfg=cfg,
+                            cg_iters=cg_iters, robust=robust)
+            jax.block_until_ready(step.poses)
+        finally:
+            if relock is not None:
+                relock()
+        res = step
+        cur = cur._replace(poses=step.poses, points=step.points)
+        done += n
+        if should_abort is not None and done < iters and should_abort():
+            break
+    return res

@@ -51,6 +51,14 @@ class LocalMapper:
         self.key = jax.random.PRNGKey(11)
         self.events: List[str] = []          # debug trail (cross harvest &c)
         self.ba_log: List[tuple] = []        # (kid, n_kf, n_mp, n_edge, cost)
+        # async-pipeline hooks (set by pipeline/system.py): interrupt_check
+        # aborts local BA between chunks when a new KF is queued; map_lock
+        # is released during each chunk's device solve (LocalMapping.cc:
+        # 97-108 InterruptBA semantics); ba_intervals records (t0, t1) of
+        # each local-BA solve for the overlap test
+        self.interrupt_check = None
+        self.map_lock = None
+        self.ba_intervals: List[tuple] = []
 
     # ------------------------------------------------------------------
     def on_new_keyframe(self, kf: KeyFrame, run_ba: bool = True) -> None:
@@ -388,8 +396,20 @@ class LocalMapper:
             m, window, fixed_kids=fixed,
             level_sigma2=self.scale_factors ** 2, ncam=cfg.n_cameras,
             max_points=cfg.capacity.max_local_mp)
-        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
-                          iters=cfg.ba.local_iters_a + cfg.ba.local_iters_b)
+        # Abortable, lock-releasing BA (LocalMapping.cc:97-108): the chunked
+        # solver drops `map_lock` while each LM chunk executes on-device so
+        # the tracking thread keeps the map, and stops early when a new
+        # keyframe is waiting (the reference's InterruptBA -> mbAbortBA).
+        import time as _time
+        t0 = _time.monotonic()
+        res = ba.solve_ba_chunked(
+            prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
+            iters=cfg.ba.local_iters_a + cfg.ba.local_iters_b,
+            chunk=cfg.ba.abort_chunk,
+            should_abort=self.interrupt_check,
+            unlock=self.map_lock.release if self.map_lock else None,
+            relock=self.map_lock.acquire if self.map_lock else None)
+        self.ba_intervals.append((t0, _time.monotonic()))
         n_erased = ba_pack.unpack_result(m, res, all_kids, mids, meta,
                                          chi2_th=cfg.ba.chi2_mono)
         self.ba_log.append((kf.kid, len(all_kids), len(mids), len(meta),

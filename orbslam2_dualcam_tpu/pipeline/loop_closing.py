@@ -34,9 +34,11 @@ class LoopCloser:
     (LoopClosing.h:89-90); scale is free (7-DoF, LoopClosing.h:91)."""
 
     def __init__(self, cfg: SystemConfig, rig: CameraRig, slam_map: Map,
-                 kfdb: KeyFrameDatabase, voc: bow.Vocabulary) -> None:
+                 kfdb: KeyFrameDatabase, voc: bow.Vocabulary,
+                 mesh=None) -> None:
         self.cfg = cfg
         self.rig = rig
+        self.mesh = mesh
         self.map = slam_map
         self.kfdb = kfdb
         self.voc = voc
@@ -446,8 +448,9 @@ class LoopCloser:
             m, kids, fixed_kids=fixed,
             level_sigma2=np.asarray(self.cfg.orb.level_sigma2, np.float32),
             ncam=self.cfg.n_cameras)
-        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
-                          iters=10)
+        from orbslam2_dualcam_tpu.parallel import runtime
+        res = runtime.solve_ba_auto(prob, self.rig.T_sc, self.rig.adj_sc,
+                                    self.rig.K, iters=10, mesh=self.mesh)
         ba_pack.unpack_result(m, res, all_kids, mids, meta,
                               chi2_th=self.cfg.ba.chi2_mono)
 

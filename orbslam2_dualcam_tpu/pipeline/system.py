@@ -34,8 +34,13 @@ class System:
     def __init__(self, cfg: SystemConfig,
                  voc: Optional[bow.Vocabulary] = None,
                  enable_loop_closing: bool = True,
-                 async_mapping: bool = False) -> None:
+                 async_mapping: bool = False,
+                 mesh=None) -> None:
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis; when
+        attached, global BA passes shard their edge tables across it
+        (parallel/runtime.solve_ba_auto)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.rig = camera.make_rig(cfg)
         self.map = Map()
         self.voc = voc
@@ -49,15 +54,21 @@ class System:
         if enable_loop_closing and voc is not None:
             from orbslam2_dualcam_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.rig, self.map, self.kfdb,
-                                          voc)
+                                          voc, mesh=mesh)
         self.mapper = LocalMapper(cfg, self.rig, self.map,
                                   loop_closer=self.loop_closer,
                                   kfdb=self.kfdb, voc=voc)
         self._async = async_mapping
         self.map_lock = threading.Lock()
+        self.frame_intervals: List[tuple] = []   # (t0, t1) per track() call
         if async_mapping:
             self._kf_queue: "queue.Queue" = queue.Queue()
             self._stop = threading.Event()
+            # local BA yields: drops map_lock while each LM chunk runs on
+            # device, and aborts when the tracker queued another keyframe
+            # (the reference's InterruptBA, LocalMapping.cc:97-108)
+            self.mapper.map_lock = self.map_lock
+            self.mapper.interrupt_check = lambda: not self._kf_queue.empty()
             self._mapper_thread = threading.Thread(
                 target=self._mapping_loop, daemon=True)
             self._mapper_thread.start()
@@ -65,17 +76,22 @@ class System:
         else:
             front = self.mapper
         self.tracker = Tracker(cfg, self.rig, voc, self.map, self.kfdb,
-                               local_mapper=front)
+                               local_mapper=front, mesh=mesh)
 
     # ------------------------------------------------------------------
     def track(self, images: np.ndarray, timestamp: float) -> str:
         """Per-frame entry (System::TrackDual, System.cc:153-180).
         images: [ncam, H, W] uint8/float grayscale."""
         images = np.asarray(images, np.float32)
-        if self._async:
-            with self.map_lock:
-                return self.tracker.process(images, timestamp)
-        return self.tracker.process(images, timestamp)
+        import time as _time
+        t0 = _time.monotonic()
+        try:
+            if self._async:
+                with self.map_lock:
+                    return self.tracker.process(images, timestamp)
+            return self.tracker.process(images, timestamp)
+        finally:
+            self.frame_intervals.append((t0, _time.monotonic()))
 
     def _mapping_loop(self) -> None:
         while not self._stop.is_set():

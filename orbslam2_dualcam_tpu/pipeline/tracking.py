@@ -68,9 +68,10 @@ class Tracker:
                  voc: Optional[bow.Vocabulary] = None,
                  slam_map: Optional[Map] = None,
                  kfdb: Optional[KeyFrameDatabase] = None,
-                 local_mapper=None) -> None:
+                 local_mapper=None, mesh=None) -> None:
         self.cfg = cfg
         self.rig = rig
+        self.mesh = mesh
         self.voc = voc
         self.map = slam_map if slam_map is not None else Map()
         self.kfdb = kfdb
@@ -990,8 +991,9 @@ class Tracker:
         prob, all_kids, mids, meta = ba_pack.pack_problem(
             m, kids, fixed_kids=fixed,
             level_sigma2=self.scale_factors ** 2, ncam=self.cfg.n_cameras)
-        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
-                          iters=10)
+        from orbslam2_dualcam_tpu.parallel import runtime
+        res = runtime.solve_ba_auto(prob, self.rig.T_sc, self.rig.adj_sc,
+                                    self.rig.K, iters=10, mesh=self.mesh)
         ba_pack.unpack_result(m, res, all_kids, mids, meta,
                               chi2_th=self.cfg.ba.chi2_mono)
 
@@ -1030,8 +1032,10 @@ class Tracker:
         prob, all_kids, mids, meta = ba_pack.pack_problem(
             m, kids, fixed_kids=fixed,
             level_sigma2=self.scale_factors ** 2, ncam=self.cfg.n_cameras)
-        res = ba.solve_ba(prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
-                          iters=iters, cg_iters=48)
+        from orbslam2_dualcam_tpu.parallel import runtime
+        res = runtime.solve_ba_auto(prob, self.rig.T_sc, self.rig.adj_sc,
+                                    self.rig.K, iters=iters, cg_iters=48,
+                                    mesh=self.mesh)
         ba_pack.unpack_result(m, res, all_kids, mids, meta,
                               chi2_th=self.cfg.ba.chi2_mono)
 

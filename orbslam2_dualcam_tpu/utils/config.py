@@ -123,6 +123,10 @@ class BAConfig:
     sim3_iters: int = 10             # OptimizeSim3 stages (Optimizer.cc:976+)
     lm_lambda_init: float = 1e-4
     lm_lambda_factor: float = 10.0
+    # local BA runs in jitted chunks of this many LM iterations, checking
+    # the mapper's interrupt between chunks (InterruptBA semantics,
+    # LocalMapping.cc:97-108) and releasing the map lock during the solve
+    abort_chunk: int = 5
 
 
 @dataclass(frozen=True)
