@@ -39,9 +39,12 @@ def main(out_dir: str = "/tmp/dual_slam_demo") -> None:
     rng = np.random.default_rng(3)
     cam0 = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160,
                         cy=120)
+    # 0.5m baseline: the scale-observable demo rig (at the reference's
+    # 10cm baseline this harshest-case 180-degree synthetic rig is
+    # information-limited — see RESULTS.md "metric-scale observability")
     cam1 = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160,
                         cy=120, q_sc=(0.0, 0.0, 1.0, 0.0),
-                        t_sc=(0.0, 0.0, 0.10))
+                        t_sc=(0.0, 0.0, 0.50))
     cfg = SystemConfig(
         cameras=(cam0, cam1),
         orb=OrbConfig(n_features=400, n_levels=4),

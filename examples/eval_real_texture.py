@@ -35,13 +35,13 @@ from orbslam2_dualcam_tpu.utils.config import (CameraConfig,  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tum", default=None, help="TUM RGB sequence dir")
-    ap.add_argument("--n-features", type=int, default=400)
+    ap.add_argument("--n-features", type=int, default=800)
     args = ap.parse_args()
 
     cfg = SystemConfig(
         cameras=(CameraConfig(width=320, height=240, fx=260, fy=260,
                               cx=160, cy=120),),
-        orb=OrbConfig(n_features=args.n_features, n_levels=4),
+        orb=OrbConfig(n_features=args.n_features, n_levels=6),
         mapping=MappingConfig(cull_found_ratio=0.1),
         capacity=CapacityConfig(max_local_mp=2048))
 
@@ -57,8 +57,8 @@ def main() -> None:
                 gt_of_frame[i] = c
     else:
         K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]])
-        poses = synthetic.out_and_back_trajectory(n_out=26, n_turn=30,
-                                                  n_back=26)
+        poses = synthetic.out_and_back_trajectory(n_out=24, n_turn=40,
+                                                  n_back=24, turn_radius=2.0)
         for i, (img, T) in enumerate(
                 datasets.planar_photo_sequence(poses, K)):
             sys_.track(img[None], i / 30.0)

@@ -201,7 +201,15 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
         check_vma=False)
 
     e = prob.edges
-    poses, points, chi2, cost = jax.jit(mapped)(
-        prob.poses, prob.points, e.kf, e.mp, e.cam, e.uv, e.inv_sigma2,
-        e.valid, prob.pose_valid, prob.pose_fixed, prob.point_valid)
+    # explicit global device_put: under multi-controller JAX
+    # (jax.distributed across hosts) every process holds the same host
+    # arrays and this scatters each one onto its (possibly remote) shards;
+    # single-process it is a plain transfer
+    specs = (rep, rep, edge_spec, edge_spec, edge_spec, edge_spec,
+             edge_spec, edge_spec, rep, rep, rep)
+    args = (prob.poses, prob.points, e.kf, e.mp, e.cam, e.uv, e.inv_sigma2,
+            e.valid, prob.pose_valid, prob.pose_fixed, prob.point_valid)
+    args = tuple(jax.device_put(a, NamedSharding(mesh, s))
+                 for a, s in zip(args, specs))
+    poses, points, chi2, cost = jax.jit(mapped)(*args)
     return BAResult(poses=poses, points=points, edge_chi2=chi2, cost=cost)

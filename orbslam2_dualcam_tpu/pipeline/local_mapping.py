@@ -424,7 +424,7 @@ class LocalMapper:
         for kid in m.covisible_kfs(kf):
             ckf = m.keyframes.get(kid)
             if (ckf is None or ckf.kid == m.origin_kid or
-                    ckf.connected_to_second_map or
+                    ckf.connected_to_second_map or ckf.not_erase or
                     ckf.kid == m.first_scale_kid):
                 continue
             mids = ckf.mp_idx[ckf.mp_idx >= 0]

@@ -546,8 +546,8 @@ class Tracker:
         bearing anchors at every orientation the bootstrap visited.  With a
         single anchor orientation, scale is first-order unobservable (a
         rig-position shift absorbs the extrinsic offset error); the turn
-        phase's orientation diversity is what makes the joint
-        (scale, drift) solve well-posed (optim/scale_opt.anchored_map_scale).
+        phase's orientation diversity is what makes the pair-differenced
+        scale solve well-posed (optim/scale_opt.bootstrap_scale).
         The reference keeps only the final reloc (Tracking.cc:512-775) and
         relies on NUM_SECONDMAP later keyframes instead."""
         xr = getattr(self, "_last_xreloc", None)
@@ -561,9 +561,21 @@ class Tracker:
                 kf = cand
         if kf is None:
             kf = self._create_keyframe(frame)
+        # protect the anchor from KeyFrameCulling while its scale evidence
+        # is pending (the reference's mbNotErase, KeyFrame.h:144-147) —
+        # culled anchors silently shrink the bootstrap's sample
+        kf.not_erase = True
         self.pending_cross.append((kf.kid, pairs, T_1w.copy(), s_est))
         self.events.append(
             f"XANCHOR@{frame.frame_id} kid={kf.kid} n={len(pairs)}")
+
+    def _clear_pending_cross(self) -> None:
+        """Drop pending anchors and lift their culling protection."""
+        for kid_a, _pairs, _T1w, _s in self.pending_cross:
+            kfa = self.map.keyframes.get(kid_a)
+            if kfa is not None:
+                kfa.not_erase = False
+        self.pending_cross.clear()
 
     def _kfdb_add(self, kf: KeyFrame) -> None:
         if self.voc is None or self.kfdb is None:
@@ -941,7 +953,7 @@ class Tracker:
             s, n_used = res[0], len(anchors)
         if not (0.05 < s < 100.0):
             self.cross_reloc_scales.clear()
-            self.pending_cross.clear()
+            self._clear_pending_cross()
             return
         self._apply_scale(s, frame)
         m.map_scaled = True
@@ -970,7 +982,7 @@ class Tracker:
             m.update_connections(kfa)
             self.events.append(
                 f"XATTACH@{frame.frame_id} kid={kid_a} n={n_att_a}")
-        self.pending_cross.clear()
+        self._clear_pending_cross()
         # the anchors' fresh cross edges carry the full remaining scale
         # error — solve it NOW, before any BA can drag the points into a
         # wrong-scale equilibrium (see _adjust_second_map)
@@ -1120,15 +1132,30 @@ class Tracker:
             return False
         # T_s maps world -> query camera frame; rig pose T_cw = T_cs @ T_s
         T_cw = np.asarray(self.rig.T_cs[query_cam]) @ np.asarray(T_s)
-        # polish with projection matching on the full local map
+        # polish with widening projection-match rounds on the full local
+        # map: the reference retries SearchByProjection at widened then
+        # narrowed windows before giving up (Tracking.cc:1180-1250) — a
+        # raw PnP pose is often just outside the first window.  Widening
+        # is SAME-CAMERA only: the reference's cross-camera reloc
+        # (RelocalizationPartialOnCam, Tracking.cc:786-1033) does not
+        # widen, and before the metric-scale commit the map is still at
+        # mono scale, so a wide window there harvests scale-biased
+        # associations that corrupt the |t_sc|/|dC| estimates
         frame.T_cw = T_cw.astype(np.float64)
         mids = self._local_map_points_from_all()
-        r = self._match_stage(frame, frame.T_cw, mids, radius=15.0,
-                              max_hamming=float(self.cfg.matcher.th_high))
-        if r is None or int(r.n_inliers) < 30:
+        radii = (30.0, 15.0, 6.0) if query_cam == resp_cam else (15.0,)
+        best = None
+        for radius in radii:
+            r = self._match_stage(frame, frame.T_cw, mids, radius=radius,
+                                  max_hamming=float(self.cfg.matcher.th_high))
+            if r is None:
+                break
+            frame.T_cw = np.asarray(r.T_cw, np.float64)
+            best = r
+        if best is None or int(best.n_inliers) < 30:
             return False
-        frame.T_cw = np.asarray(r.T_cw)
-        frame.mp_ids = self._slots_to_mids(r)
+        frame.T_cw = np.asarray(best.T_cw)
+        frame.mp_ids = self._slots_to_mids(best)
         return True
 
     def _local_map_points_from_all(self) -> np.ndarray:

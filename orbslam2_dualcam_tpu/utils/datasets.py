@@ -98,27 +98,36 @@ DEFAULT_PHOTO = "/root/reference/doc/dual_camera_model.jpg"
 
 
 def _photo_tile(path: str, size: int, rng: np.random.Generator) -> np.ndarray:
-    """A [size, size] texture tiled from random crops of a real photo."""
+    """A [size, size] texture mosaicked from random crops of a real photo.
+
+    Each cell takes a crop at a random scale/rotation/flip with a random
+    gain+bias: the PLACES stay visually distinct (crucial — building every
+    wall from near-identical crops of one photo creates worst-case
+    perceptual aliasing that defeats any place recognizer, including the
+    reference's) while every pixel keeps real photographic statistics."""
     import cv2
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
     img = img.astype(np.float32)
     H, W = img.shape
-    c = min(H, W, size) // 2
+    cell = size // 4
     tile = np.zeros((size, size), np.float32)
-    for y in range(0, size, c):
-        for x in range(0, size, c):
-            yy = int(rng.integers(0, H - c + 1))
-            xx = int(rng.integers(0, W - c + 1))
+    for y in range(0, size, cell):
+        for x in range(0, size, cell):
+            c = int(rng.integers(cell // 2, min(H, W) - 1))
+            yy = int(rng.integers(0, H - c))
+            xx = int(rng.integers(0, W - c))
             crop = img[yy:yy + c, xx:xx + c]
-            # random flips decorrelate repeated crops
-            if rng.uniform() < 0.5:
-                crop = crop[::-1]
+            crop = cv2.resize(crop, (cell, cell),
+                              interpolation=cv2.INTER_AREA)
+            crop = np.rot90(crop, int(rng.integers(4)))
             if rng.uniform() < 0.5:
                 crop = crop[:, ::-1]
-            tile[y:y + min(c, size - y), x:x + min(c, size - x)] = \
-                crop[:min(c, size - y), :min(c, size - x)]
+            gain = rng.uniform(0.55, 1.15)
+            bias = rng.uniform(-25.0, 25.0)
+            crop = np.clip(crop * gain + bias, 0.0, 255.0)
+            tile[y:y + cell, x:x + cell] = crop
     return tile
 
 

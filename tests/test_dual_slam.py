@@ -93,21 +93,27 @@ def test_metric_scale_recovered(dual_run):
         gt.append(-Tg[:3, :3].T @ Tg[:3, 3])
     est = np.asarray(est)
     gt = np.asarray(gt)
-    # Scale factor between est and gt should be ~1.  KNOWN LIMITATION
-    # (round-1): the |t_sc|/|dC| bootstrap estimates carry a systematic
-    # PnP-center bias at this wall-viewing geometry (planar depth
-    # ambiguity at a 10cm baseline), and with disjoint FOVs the metric
-    # scale is observable in BA ONLY through cross-camera-observed points
-    # (reference: mbViewdByDifCams), which are currently too sparse to
-    # pull it back.  The fix is densifying their harvest
-    # (SearchCrossCameras, LocalMapping.cc:573-810) — the top roadmap
-    # item.  Until then this gates a sanity band, not metric accuracy.
+    # Scale factor between est and gt should be ~1.  MEASURED INFORMATION
+    # LIMIT (full analysis in RESULTS.md "metric-scale observability"):
+    # at this rig's 10cm baseline on this drifty mono map the scale is
+    # not recoverable by ANY estimator — (a) the anchor displacement
+    # signal |o|/alpha = 0.016 map units sits under the region drift
+    # (0.04-0.19 units measured), so the median over ALL anchor-subset
+    # fits lands at alpha~1.2 for a ground truth of 6.2; and (b) BA's own
+    # cost is LOWER at the wrong scale (6342) than at the metric rescale
+    # (6654) because a <=0.1-unit smooth map deformation absorbs the
+    # entire baseline lever.  The reference's mean-ratio estimator
+    # (Tracking.cc:1014-1029) measures 1.4-2.7 on the same anchors —
+    # the same floor.  This test therefore gates the INTEGRATION (the
+    # bootstrap commits, the harvest runs, BA stays metric-consistent)
+    # at the measured floor; test_dual_wide_baseline.py gates metric
+    # ACCURACY where the signal exceeds drift.  Measured here: s=3.04.
     _, _, s = metrics.align_umeyama(est, gt, with_scale=True)
-    assert 0.2 < s < 5.0, f"metric scale insane: {s:.3f}"
+    assert 0.2 < s < 4.0, f"metric scale regressed: {s:.3f}"
     # shape accuracy is unaffected by the global scale error
     ate_sim3 = metrics.ate_rmse(est, gt, with_scale=True)
     span = np.linalg.norm(gt.max(0) - gt.min(0))
-    assert ate_sim3 < 0.15 * span, (ate_sim3, span, sys_.tracker.events)
+    assert ate_sim3 < 0.10 * span, (ate_sim3, span, sys_.tracker.events)
 
 
 def test_second_camera_contributes(dual_run):
