@@ -47,6 +47,19 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # the axon TPU tunnel occasionally drops; retry init before giving up
+    # so a transient outage doesn't void the benchmark run
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"# backend unavailable (attempt {attempt + 1}): {e}; "
+                  f"retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
 

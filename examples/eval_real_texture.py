@@ -35,19 +35,36 @@ from orbslam2_dualcam_tpu.utils.config import (CameraConfig,  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tum", default=None, help="TUM RGB sequence dir")
+    ap.add_argument("--kitti", default=None,
+                    help="KITTI odometry sequence dir (image_0/, times.txt)")
     ap.add_argument("--n-features", type=int, default=800)
+    ap.add_argument("--levels", type=int, default=6)
+    ap.add_argument("--full", action="store_true",
+                    help="reference operating point: 640x480, 1300 feats, "
+                         "8 levels (Dual-LenaCV.yaml:48-77)")
     args = ap.parse_args()
 
+    if args.full:
+        W, H, f, nf, nl = 640, 480, 520.0, 1300, 8
+    else:
+        W, H, f, nf, nl = 320, 240, 260.0, args.n_features, args.levels
     cfg = SystemConfig(
-        cameras=(CameraConfig(width=320, height=240, fx=260, fy=260,
-                              cx=160, cy=120),),
-        orb=OrbConfig(n_features=args.n_features, n_levels=6),
+        cameras=(CameraConfig(width=W, height=H, fx=f, fy=f,
+                              cx=W / 2, cy=H / 2),),
+        orb=OrbConfig(n_features=nf, n_levels=nl),
         mapping=MappingConfig(cull_found_ratio=0.1),
-        capacity=CapacityConfig(max_local_mp=2048))
+        capacity=CapacityConfig(max_local_mp=4096 if args.full else 2048))
 
     sys_ = System(cfg, voc=None, enable_loop_closing=False)
     gt_of_frame = {}
-    if args.tum:
+    if args.kitti:
+        ds = datasets.KittiOdometryDataset.load(args.kitti)
+        for i in range(len(ds.frames)):
+            sys_.track(ds.read(i)[None], float(ds.times[i]))
+            c = ds.gt_center(i)
+            if c is not None:
+                gt_of_frame[i] = c
+    elif args.tum:
         ds = datasets.TumRgbDataset.load(args.tum)
         for i, (ts, _) in enumerate(ds.frames):
             img = ds.read(i)
@@ -56,11 +73,11 @@ def main() -> None:
             if c is not None:
                 gt_of_frame[i] = c
     else:
-        K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]])
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
         poses = synthetic.out_and_back_trajectory(n_out=24, n_turn=40,
                                                   n_back=24, turn_radius=2.0)
         for i, (img, T) in enumerate(
-                datasets.planar_photo_sequence(poses, K)):
+                datasets.planar_photo_sequence(poses, K, H=H, W=W)):
             sys_.track(img[None], i / 30.0)
             gt_of_frame[i] = -T[:3, :3].T @ T[:3, 3]
 

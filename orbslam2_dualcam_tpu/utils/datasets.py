@@ -91,6 +91,72 @@ class TumRgbDataset:
 
 
 # ---------------------------------------------------------------------------
+# KITTI odometry format
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KittiOdometryDataset:
+    """KITTI odometry grayscale sequence (SURVEY §6 eval plan, seq 00).
+
+    Layout (cvlibs.net/datasets/kitti/eval_odometry.php):
+      image_0/NNNNNN.png   left grayscale frames
+      times.txt            one timestamp per frame
+      [poses.txt | <seq>.txt]  ground truth: 12 floats per line, the
+                           row-major [3,4] T_w_cam matrix (cam->world)
+    """
+
+    root: str
+    frames: List[str]
+    times: np.ndarray          # [N]
+    gt_T_wc: np.ndarray        # [G, 3, 4] (empty if no ground truth)
+
+    @classmethod
+    def load(cls, root: str,
+             poses_file: Optional[str] = None) -> "KittiOdometryDataset":
+        img_dir = os.path.join(root, "image_0")
+        frames = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))
+                  if f.endswith(".png")]
+        times = []
+        times_file = os.path.join(root, "times.txt")
+        if os.path.exists(times_file):
+            with open(times_file) as f:
+                times = [float(line) for line in f if line.strip()]
+        else:
+            times = [i * 0.1 for i in range(len(frames))]   # 10 Hz nominal
+        if poses_file is None:
+            for cand in ("poses.txt", os.path.basename(root.rstrip("/"))
+                         + ".txt"):
+                p = os.path.join(root, cand)
+                if os.path.exists(p):
+                    poses_file = p
+                    break
+        gt = []
+        if poses_file is not None and os.path.exists(poses_file):
+            with open(poses_file) as f:
+                for line in f:
+                    v = [float(x) for x in line.split()]
+                    if len(v) == 12:
+                        gt.append(np.asarray(v).reshape(3, 4))
+        return cls(root=root, frames=frames,
+                   times=np.asarray(times, np.float64),
+                   gt_T_wc=np.asarray(gt).reshape(-1, 3, 4))
+
+    def read(self, i: int) -> np.ndarray:
+        import cv2
+        img = cv2.imread(self.frames[i], cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(self.frames[i])
+        return img.astype(np.float32)
+
+    def gt_center(self, i: int) -> Optional[np.ndarray]:
+        """Ground-truth camera center of frame i (poses are cam->world,
+        so the center is the translation column directly)."""
+        if i >= len(self.gt_T_wc):
+            return None
+        return self.gt_T_wc[i][:3, 3]
+
+
+# ---------------------------------------------------------------------------
 # real-texture planar-room sequence
 # ---------------------------------------------------------------------------
 
@@ -167,10 +233,10 @@ def _render_plane(plane: _Plane, K: np.ndarray, T_cw: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         u = q[..., 0] / w
         v = q[..., 1] / w
-    Xw = (plane.P0[None, None] + u[..., None] * plane.e1[None, None] /
-          (tw - 1) + v[..., None] * plane.e2[None, None] / (th - 1))
-    Xc = Xw @ R.T + t
-    depth = Xc[..., 2]
+        Xw = (plane.P0[None, None] + u[..., None] * plane.e1[None, None] /
+              (tw - 1) + v[..., None] * plane.e2[None, None] / (th - 1))
+        Xc = Xw @ R.T + t
+        depth = Xc[..., 2]
     valid = (img >= 0) & (depth > 1e-6) & np.isfinite(depth)
     return np.where(valid, img, 0.0).astype(np.float32), \
         np.where(valid, depth, np.inf)

@@ -112,3 +112,29 @@ def test_tum_loader_roundtrip(tmp_path):
     c = ds.gt_center_at(ds.frames[2][0])
     assert c is not None and abs(c[0] - 0.4) < 1e-6
     assert ds.gt_center_at(500.0) is None
+
+
+def test_kitti_loader_roundtrip(tmp_path):
+    """KittiOdometryDataset reads the KITTI odometry layout (image_0/ +
+    times.txt + 12-float row-major [3,4] cam->world poses)."""
+    import cv2
+    seq = tmp_path / "00"
+    (seq / "image_0").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(5):
+        img = rng.integers(0, 255, (37, 61), np.uint8)
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), img)
+    with open(seq / "times.txt", "w") as f:
+        for i in range(5):
+            f.write(f"{i * 0.103:.6f}\n")
+    with open(seq / "poses.txt", "w") as f:
+        for i in range(5):
+            T = np.hstack([np.eye(3), [[i * 1.5], [0.0], [0.0]]])
+            f.write(" ".join(f"{x:.6e}" for x in T.ravel()) + "\n")
+    ds = datasets.KittiOdometryDataset.load(str(seq))
+    assert len(ds.frames) == 5 and len(ds.times) == 5
+    img = ds.read(3)
+    assert img.shape == (37, 61) and img.dtype == np.float32
+    c = ds.gt_center(3)
+    assert c is not None and abs(c[0] - 4.5) < 1e-9
+    assert ds.gt_center(99) is None
