@@ -118,7 +118,12 @@ def fast_scores2(img: jax.Array, th_hi: float, th_lo: float):
     over the qualifying arc (the cv::FAST score the quad-tree ranks by).
     The reference runs FAST twice per cell (iniThFAST then minThFAST
     retry, ORBextractor.cc:791); here both thresholds share the circle
-    views and differences.  Returns (score_hi, score_lo) (H, W) float32."""
+    views and differences.  Returns (score_hi, score_lo, sad_lo) (H, W)
+    float32 — sad_lo is the UNGATED thresholded-SAD surface (the same
+    sb+sd terms without the arc mask): dense and smooth around corners,
+    which is what the sub-pixel quadratic fit needs (the arc-gated score
+    is zero on most neighbours).  All three come from one set of circle
+    views/differences; XLA fuses the extra sum for free."""
     c = _circle_views(img)                       # (16, H, W)
     d = c - img[None]                            # circle minus center
 
@@ -127,14 +132,16 @@ def fast_scores2(img: jax.Array, th_hi: float, th_lo: float):
         is_d = _arc_mask(d < -t)
         sb = jnp.sum(jnp.maximum(d - t, 0.0), axis=0)
         sd = jnp.sum(jnp.maximum(-d - t, 0.0), axis=0)
-        return jnp.where(is_b, sb, 0.0) + jnp.where(is_d, sd, 0.0)
+        return jnp.where(is_b, sb, 0.0) + jnp.where(is_d, sd, 0.0), sb + sd
 
-    return score_at(th_hi), score_at(th_lo)
+    s_hi, _ = score_at(th_hi)
+    s_lo, sad_lo = score_at(th_lo)
+    return s_hi, s_lo, sad_lo
 
 
 def fast_score(img: jax.Array, threshold: float) -> jax.Array:
     """Dense FAST-9/16 corner response at one threshold (see fast_scores2)."""
-    s, _ = fast_scores2(img, threshold, threshold)
+    s, _, _ = fast_scores2(img, threshold, threshold)
     return s
 
 
@@ -193,6 +200,37 @@ def select_keypoints(score: jax.Array, n_keep: int, cell: int = 30,
     ksc = score.reshape(-1)[top]
     ksc = jnp.where(vals > -jnp.inf, ksc, 0.0)
     return jnp.stack([ky, kx], axis=-1).astype(jnp.int32), ksc
+
+
+def subpixel_offsets(score: jax.Array, yx: jax.Array) -> jax.Array:
+    """Sub-pixel keypoint refinement: quadratic fit on the corner-response
+    surface.  The reference keeps integer FAST positions (OpenCV FAST has
+    no subpixel either), which quantizes every reprojection residual by
+    +-0.5 px * 1.2^level — a measurable drift floor.  Fitting the 3x3
+    response neighbourhood with a 2-D quadratic and stepping to its
+    maximum (offset = -H^-1 g, the standard corner interpolation) is a
+    pure batched gather + closed-form 2x2 solve: negligible on the MXU
+    budget, and it feeds straight into matching/triangulation/BA.
+
+    score: dense response surface (H, W), NON-maximum-suppressed maps are
+    unusable (neighbours zeroed).  yx: (N, 2) int.  Returns (N, 2) float
+    dy/dx in [-0.6, 0.6]; 0 where the fit is invalid (flat/cliff/saddle).
+    """
+    p = _gather_patches(score, yx, 1)            # (N, 3, 3)
+    gy = 0.5 * (p[:, 2, 1] - p[:, 0, 1])
+    gx = 0.5 * (p[:, 1, 2] - p[:, 1, 0])
+    hyy = p[:, 2, 1] - 2.0 * p[:, 1, 1] + p[:, 0, 1]
+    hxx = p[:, 1, 2] - 2.0 * p[:, 1, 1] + p[:, 1, 0]
+    hxy = 0.25 * (p[:, 2, 2] - p[:, 2, 0] - p[:, 0, 2] + p[:, 0, 0])
+    det = hxx * hyy - hxy * hxy
+    safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+    dy = -(hxx * gy - hxy * gx) / safe
+    dx = -(hyy * gx - hxy * gy) / safe
+    # valid: a genuine interior maximum (negative-definite Hessian)
+    ok = (hxx < 0) & (hyy < 0) & (det > 1e-9)
+    off = jnp.stack([dy, dx], axis=-1)
+    off = jnp.clip(off, -0.6, 0.6)
+    return jnp.where(ok[:, None], off, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -423,13 +461,17 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
     for l, (im, budget) in enumerate(zip(pyr, budgets)):
         if budget == 0:
             continue
-        s, s_lo = fast_scores2(im, float(cfg.ini_th_fast),
-                               float(cfg.min_th_fast))
+        s, s_lo, sad_lo = fast_scores2(im, float(cfg.ini_th_fast),
+                                       float(cfg.min_th_fast))
         # high-threshold corners preferred; low-threshold fill-in at a large
         # score penalty (mirrors the per-cell retry at ORBextractor.cc:791).
         s = nms3x3(jnp.where(s > 0, s + 1e4, s_lo))
         yx, sc = select_keypoints(s, budget, cell=cfg.cell_size,
                                   border=cfg.edge_threshold)
+        # quadratic sub-pixel refinement on the dense (arc-ungated) SAD
+        # surface — the arc-gated score is zero on most neighbours, which
+        # starves the fit (measured: 97% of offsets rejected)
+        dyx = subpixel_offsets(sad_lo, yx)
         ang = ic_angles(im, yx, radius=(cfg.patch_size - 1) // 2)
         blur = gaussian_blur7(im)
         d = brief_descriptors_matmul(blur, yx, ang, cfg.brief_seed,
@@ -437,7 +479,8 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
         scale_l = cfg.scale_factor ** l
         # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
         # (plain xl*s injects a level-dependent ~0.4px systematic bias)
-        uv = (yx[:, ::-1].astype(jnp.float32) + 0.5) * scale_l - 0.5
+        yx_f = yx.astype(jnp.float32) + dyx
+        uv = (yx_f[:, ::-1] + 0.5) * scale_l - 0.5
         uvs.append(uv)
         lvls.append(jnp.full((budget,), l, jnp.int32))
         angs.append(ang)

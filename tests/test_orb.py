@@ -140,3 +140,42 @@ def test_descriptor_stability_under_shift(rng):
     # below the 128 ideal — require clear separation instead
     assert np.mean(rand_dists) > np.mean(dists) + 25, (
         np.mean(dists), np.mean(rand_dists))
+
+
+def test_subpixel_refinement_beats_integer_grid(rng):
+    """Blobs planted at known sub-pixel centers: the quadratic response
+    interpolation must recover them substantially better than the
+    integer grid (ORB-SLAM2/OpenCV FAST keep integer positions)."""
+    from orbslam2_dualcam_tpu.ops.orb import (fast_scores2, nms3x3,
+                                              select_keypoints,
+                                              subpixel_offsets)
+    H = W = 160
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.zeros((H, W))
+    truth = []
+    for gy in range(4):
+        for gx in range(4):
+            cy = 24 + gy * 32 + rng.uniform(-0.5, 0.5)
+            cx = 24 + gx * 32 + rng.uniform(-0.5, 0.5)
+            img += 220.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.5)
+            truth.append((cy, cx))
+    truth = np.asarray(truth)
+    s_hi, s_lo, sad_lo = fast_scores2(jnp.asarray(img, jnp.float32),
+                                      20.0, 7.0)
+    yx, sc = select_keypoints(nms3x3(s_hi), 16, cell=32, border=8)
+    yx = np.asarray(yx)[np.asarray(sc) > 0]
+    off = np.asarray(subpixel_offsets(sad_lo, jnp.asarray(yx)))
+    assert len(yx) >= 12
+    err_int, err_sub = [], []
+    for p, o in zip(yx, off):
+        d = np.linalg.norm(truth - p, axis=1)
+        j = int(np.argmin(d))
+        if d[j] > 1.5:
+            continue
+        err_int.append(np.linalg.norm(truth[j] - p))
+        err_sub.append(np.linalg.norm(truth[j] - (p + o)))
+    err_int, err_sub = np.asarray(err_int), np.asarray(err_sub)
+    assert len(err_sub) >= 10
+    assert err_sub.mean() < 0.6 * err_int.mean(), (err_sub.mean(),
+                                                   err_int.mean())
+    assert err_sub.mean() < 0.15, err_sub.mean()
