@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="reference operating point: 640x480, 1300 feats, "
                          "8 levels (Dual-LenaCV.yaml:48-77)")
+    ap.add_argument("--loop", action="store_true",
+                    help="closed-circuit orbit in the photo room with a "
+                         "sequence-trained vocabulary and loop closing ON "
+                         "(the role of the reference's indoor_lab_loop.avi)")
     args = ap.parse_args()
 
     if args.full:
@@ -55,12 +59,39 @@ def main() -> None:
         mapping=MappingConfig(cull_found_ratio=0.1),
         capacity=CapacityConfig(max_local_mp=4096 if args.full else 2048))
 
-    sys_ = System(cfg, voc=None, enable_loop_closing=False)
+    loop_poses = None
+    voc = None
+    if args.loop:
+        import jax.numpy as jnp
+
+        from orbslam2_dualcam_tpu.ops import orb
+        from orbslam2_dualcam_tpu.vocab import bow
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+        # full circuit + overlap so the tail revisits the start viewpoint.
+        # Room half=3.0 keeps wall distance in the 1.5-5m band the orbit's
+        # tangential view can triangulate (the default 6m room puts the
+        # far wall 8.4m away and tracking starves mid-circle)
+        loop_planes = datasets.photo_room_planes(half=3.0, height=1.8)
+        loop_poses = synthetic.orbit_trajectory(120, radius=1.5,
+                                                total_angle=2.25 * np.pi)
+        # vocabulary trained from a sparse subsample of the sequence itself
+        # (stand-in for the reference's offline-trained ORBvoc)
+        descs = []
+        for i, (img, _) in enumerate(
+                datasets.planar_photo_sequence(loop_poses[::7], K, H=H, W=W,
+                                               planes=loop_planes)):
+            ft = orb.extract_orb(jnp.asarray(img), cfg.orb, nf)
+            descs.append(np.asarray(ft.desc)[np.asarray(ft.valid)])
+        voc = bow.train_vocabulary(np.concatenate(descs), branching=9,
+                                   depth=4, seed=5, weight_docs=descs)
+
+    sys_ = System(cfg, voc=voc, enable_loop_closing=args.loop)
     gt_of_frame = {}
+    states = []
     if args.kitti:
         ds = datasets.KittiOdometryDataset.load(args.kitti)
         for i in range(len(ds.frames)):
-            sys_.track(ds.read(i)[None], float(ds.times[i]))
+            states.append(sys_.track(ds.read(i)[None], float(ds.times[i])))
             c = ds.gt_center(i)
             if c is not None:
                 gt_of_frame[i] = c
@@ -68,18 +99,28 @@ def main() -> None:
         ds = datasets.TumRgbDataset.load(args.tum)
         for i, (ts, _) in enumerate(ds.frames):
             img = ds.read(i)
-            sys_.track(img[None], ts)
+            states.append(sys_.track(img[None], ts))
             c = ds.gt_center_at(ts)
             if c is not None:
                 gt_of_frame[i] = c
     else:
         K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
-        poses = synthetic.out_and_back_trajectory(n_out=24, n_turn=40,
-                                                  n_back=24, turn_radius=2.0)
+        if args.loop:
+            poses, planes = loop_poses, loop_planes
+        else:
+            poses = synthetic.out_and_back_trajectory(n_out=24, n_turn=40,
+                                                      n_back=24,
+                                                      turn_radius=2.0)
+            planes = None
         for i, (img, T) in enumerate(
-                datasets.planar_photo_sequence(poses, K, H=H, W=W)):
-            sys_.track(img[None], i / 30.0)
+                datasets.planar_photo_sequence(poses, K, H=H, W=W,
+                                               planes=planes)):
+            states.append(sys_.track(img[None], i / 30.0))
             gt_of_frame[i] = -T[:3, :3].T @ T[:3, 3]
+    n_lost = sum(1 for s in states if s == "LOST")
+    print(f"frames: {len(states)}  lost: {n_lost}  final: {states[-1]}")
+    if sys_.loop_closer is not None:
+        print(f"loops closed: {sys_.loop_closer.n_loops_closed}")
 
     est, gt = [], []
     for kid in sorted(sys_.map.keyframes):

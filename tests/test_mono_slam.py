@@ -66,7 +66,9 @@ def test_ate(mono_run):
     assert len(traj) > 30
     est = metrics.trajectory_positions(traj)
     fids = [t[0] for t in traj]
-    gt = np.asarray([-poses[f - 1][:3, :3].T @ poses[f - 1][:3, 3]
+    # frame ids are 0-based (Tracker._pull runs before the counter
+    # increments), so fid indexes `poses` directly
+    gt = np.asarray([-poses[f][:3, :3].T @ poses[f][:3, 3]
                      for f in fids])
     ate = metrics.ate_rmse(est, gt, with_scale=True)
     # trajectory spans ~3.5m; current slice lands 0.14-0.23m across pipeline
