@@ -179,6 +179,19 @@ class Map:
         # observers notified when a keyframe is erased (the reference's
         # KeyFrame::SetBadFlag calls mpKeyFrameDB->erase, KeyFrame.cc:668)
         self.on_erase_keyframe: List = []
+        # culled kid -> (parent kid, T_culled_cw @ inv(T_parent_cw)) frozen
+        # at cull time, so trajectory entries anchored to a culled KF can
+        # re-anchor through the parent chain exactly as the reference's
+        # mTcp walk does (KeyFrame::SetBadFlag + System::SaveTrajectory)
+        self.culled_redirect: Dict[int, tuple] = {}
+        # bumped by every map-WIDE geometric transform (set_scale, Sim3
+        # loop correction + essential-graph remap).  Consumers holding
+        # results computed from a pre-transform snapshot (the async local
+        # BA, which releases map_lock during device chunks) must discard
+        # them when the epoch moved — writing back would mix coordinate
+        # frames (the reference prevents this by stopping LocalMapping
+        # before such transforms, LocalMapping::RequestStop)
+        self.geometry_epoch = 0
 
     # -- creation ---------------------------------------------------------
     def add_keyframe(self, kf: KeyFrame) -> KeyFrame:
@@ -328,6 +341,8 @@ class Map:
                 self.keyframes[best].children.add(child_id)
         if parent is not None:
             parent.children.discard(kf.kid)
+            self.culled_redirect[kf.kid] = (
+                kf.parent, kf.T_cw @ np.linalg.inv(parent.T_cw))
         kf.is_bad = True
         self.keyframes.pop(kf.kid, None)
         for cb in self.on_erase_keyframe:
@@ -342,6 +357,7 @@ class Map:
         for mp in self.points.values():
             mp.set_scale(s)
         self.map_scaled = True
+        self.geometry_epoch += 1
 
     # -- stats ------------------------------------------------------------
     @property
@@ -355,6 +371,8 @@ class Map:
     def clear(self) -> None:
         self.keyframes.clear()
         self.points.clear()
+        self.culled_redirect.clear()
+        self.geometry_epoch += 1
         self.next_kid = 0
         self.next_mid = 0
         self.origin_kid = -1

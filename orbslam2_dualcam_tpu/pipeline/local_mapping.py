@@ -402,6 +402,7 @@ class LocalMapper:
         # keyframe is waiting (the reference's InterruptBA -> mbAbortBA).
         import time as _time
         t0 = _time.monotonic()
+        epoch0 = m.geometry_epoch
         res = ba.solve_ba_chunked(
             prob, self.rig.T_sc, self.rig.adj_sc, self.rig.K,
             iters=cfg.ba.local_iters_a + cfg.ba.local_iters_b,
@@ -410,6 +411,15 @@ class LocalMapper:
             unlock=self.map_lock.release if self.map_lock else None,
             relock=self.map_lock.acquire if self.map_lock else None)
         self.ba_intervals.append((t0, _time.monotonic()))
+        if m.geometry_epoch != epoch0:
+            # a map-wide transform (metric rescale, Sim3 loop correction)
+            # landed while the lock was released: this solve's snapshot is
+            # in the OLD coordinate frame — writing it back would rescale
+            # only the window and leave the map mixed-frame.  Discard; the
+            # next keyframe re-runs local BA on fresh coordinates.
+            self.ba_log.append((kf.kid, len(all_kids), len(mids), len(meta),
+                                float("nan"), -1))
+            return
         n_erased = ba_pack.unpack_result(m, res, all_kids, mids, meta,
                                          chi2_th=cfg.ba.chi2_mono)
         self.ba_log.append((kf.kid, len(all_kids), len(mids), len(meta),

@@ -361,7 +361,6 @@ class LoopCloser:
                                       loop_mids)
         if len(mids) < 5:
             return [], [], 0
-        _, _, s = _sim3_parts(Scw)
         ncam = self.cfg.n_cameras
         cam_en = np.zeros(ncam, bool)
         cam_en[0] = True
@@ -374,9 +373,13 @@ class LoopCloser:
             jnp.asarray(kf.level.reshape(ncam, -1)[:, :N]),
             jnp.asarray(kf.kp_valid.reshape(ncam, -1)[:, :N]),
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
-            # distances in the [R, t/s] frame are 1/s of metric: rescale
-            # the per-point distance gates to match
-            jnp.asarray(dmax / s), jnp.asarray(dmin / s),
+            # the frustum gate measures |X - cc| with cc the WORLD-frame
+            # center of [R, t/s] (= the Sim3 camera's center), so it is
+            # already in map units like the stored dmin/dmax — do NOT
+            # rescale by s (the reference's SearchByProjection(Scw) gates
+            # with unscaled min/max distance for the same reason,
+            # ORBmatcher.cc:1560-1650)
+            jnp.asarray(dmax), jnp.asarray(dmin),
             jnp.asarray(normal),
             self.rig, jnp.float32(radius),
             jnp.asarray(self.cfg.orb.scale_factors, jnp.float32),
@@ -418,13 +421,21 @@ class LoopCloser:
             # and merge duplicates — this is what welds the two ends of
             # the loop into one map instead of two overlapping sheets
             n_f = 0
+            # sibling cameras only consume map points once the map is
+            # metric (bMapScaled gating, ORBmatcher.cc:128-144) — before
+            # that their meters-valued extrinsic projects garbage into an
+            # arbitrary-scale map
+            cam_en = jnp.ones((self.cfg.n_cameras,), bool) \
+                if (m.map_scaled or self.cfg.n_cameras == 1) \
+                else jnp.zeros((self.cfg.n_cameras,), bool).at[0].set(True)
             for kid in [kf.kid] + m.covisible_kfs(kf):
                 wkf = m.keyframes.get(kid)
                 if wkf is None:
                     continue
                 n_f += local_mapping.fuse_into(
                     m, self.rig, self.cfg, self._scale_factors,
-                    self._level_scales, wkf, loop_mids, radius=4.0)
+                    self._level_scales, wkf, loop_mids, radius=4.0,
+                    cam_enabled=cam_en)
             self.n_loop_fused += n_f
             self.debug_log.append(
                 f"fuse kid={kf.kid} adds={len(proj_adds)} fused={n_f}")
@@ -433,7 +444,7 @@ class LoopCloser:
             self.map, self.rig, kf, loop_kf, Scw, matched_pairs,
             fix_scale=self.cfg.loop.fix_scale,
             pose_graph_iters=self.cfg.ba.pose_graph_iters,
-            fuse_fn=fuse_fn)
+            fuse_fn=fuse_fn, scale_factors=self._scale_factors)
         self.last_loop_kid = kf.kid
         self.n_loops_closed += 1
         self._global_ba()
@@ -485,7 +496,8 @@ def apply_sim3_correction(m: Map, rig, kf: KeyFrame, loop_kf: KeyFrame,
                           Scw: np.ndarray, matched_mids,
                           fix_scale: bool = False,
                           pose_graph_iters: int = 40,
-                          fuse_fn=None) -> None:
+                          fuse_fn=None,
+                          scale_factors: Optional[np.ndarray] = None) -> None:
     """Sim3 window correction + essential-graph propagation, shared by
     loop closing and the dual pipeline's cross-camera anchoring.
 
@@ -547,6 +559,17 @@ def apply_sim3_correction(m: Map, rig, kf: KeyFrame, loop_kf: KeyFrame,
             continue
         m.replace_point(a, b)
         corrected_mids.pop(a.mid, None)
+    # refresh normals + scale-invariance distance bands of the corrected
+    # points: their positions just scaled by 1/si, and the fuse below
+    # gates on dmin/dmax (the reference calls UpdateNormalAndDepth per
+    # corrected point, LoopClosing.cc:575-593)
+    T_sc_np = np.asarray(rig.T_sc)
+    sf = np.asarray(scale_factors) if scale_factors is not None else None
+    if sf is not None:
+        for mid in corrected_mids:
+            mp = m.points.get(mid)
+            if mp is not None:
+                update_point_stats(mp, m, T_sc_np, sf)
     # caller-provided fusion over the now-corrected window (SearchAndFuse,
     # LoopClosing.cc:703-733) — runs between correction and the pose graph
     # exactly as in the reference (CorrectLoop:616 before :641)
@@ -562,3 +585,10 @@ def apply_sim3_correction(m: Map, rig, kf: KeyFrame, loop_kf: KeyFrame,
         old_poses=old_poses, fix_scale=fix_scale,
         iters=pose_graph_iters, corrected_sim=corrections,
         corrected_mids=corrected_mids)
+    # the essential-graph remap moved EVERY point (and every pose): bring
+    # all stats back in sync before tracking resumes against this map
+    if sf is not None:
+        for mp in m.points.values():
+            if not mp.is_bad:
+                update_point_stats(mp, m, T_sc_np, sf)
+    m.geometry_epoch += 1

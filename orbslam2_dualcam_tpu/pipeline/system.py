@@ -127,11 +127,11 @@ class System:
         self.map.clear()
         if self.kfdb is not None:
             self.kfdb.clear()
-        self.tracker.state = Tracker.NOT_INITIALIZED
-        self.tracker.init_frame = None
-        self.tracker.velocity = None
-        self.tracker.trajectory.clear()
+        self.tracker.reset_state()
         self.mapper.recent_mids.clear()
+        if self.loop_closer is not None:
+            self.loop_closer.consistent_groups.clear()
+            self.loop_closer.last_loop_kid = -1
 
     # ------------------------------------------------------------------
     # savers (System.cc:335-410 formats)

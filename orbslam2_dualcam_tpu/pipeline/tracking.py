@@ -14,7 +14,7 @@ into construction / first-frame handling).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +104,27 @@ class Tracker:
         self.timer = StageTimer()
         self.trajectory: List[Tuple] = []
         self.events: List[str] = []
+
+    def reset_state(self) -> None:
+        """Clear every per-run field (Tracking::Reset, Tracking.cc:1863-
+        1918).  Kid numbering restarts at 0 after Map.clear(), so any
+        stale bootstrap anchor or reloc handle would silently resolve
+        against unrelated NEW keyframes with recycled ids."""
+        self.state = self.NOT_INITIALIZED
+        self.last = None
+        self.velocity = None
+        self.ref_kid = -1
+        self.last_kf_frame_id = -1
+        self.init_frame = None
+        self.n_track_inliers = 0
+        self.localization_only = False
+        self._force_lost = False
+        self.cross_reloc_scales.clear()
+        self.pending_cross.clear()
+        self._last_xreloc = None
+        self.next_cross_try = 0
+        self.last_reloc_cam_pose = None
+        self.trajectory.clear()
 
     # ------------------------------------------------------------------
     def process(self, images: np.ndarray, timestamp: float) -> str:
@@ -527,7 +548,11 @@ class Tracker:
                 if mp is None or mp.is_bad:
                     continue
                 g = c * N + int(row)
-                if kf.mp_idx[g] < 0:
+                # the obs-membership guard matters when one point matched
+                # rows in TWO cameras of this frame: a second
+                # add_observation would overwrite mp.obs[kid] and leave
+                # the first row's mp_idx dangling forever
+                if kf.mp_idx[g] < 0 and kf.kid not in mp.obs:
                     self.map.add_observation(mp, kf, g, c)
         self.map.update_connections(kf)
         self.ref_kid = kf.kid
@@ -792,7 +817,18 @@ class Tracker:
         cross-camera observations and let local BA settle the metric scale
         through the extrinsic baseline."""
         xreloc = getattr(self, "_last_xreloc", None)
-        kf = self._make_keyframe(frame, frame.T_cw)
+        # reuse a keyframe already created for THIS frame (e.g. by
+        # _anchor_cross_reloc moments before second-map creation, or by
+        # the regular KF policy) — a second _make_keyframe would insert a
+        # coincident duplicate whose identical residuals double-count in
+        # BA and inflate covisibility
+        kf = None
+        if self.last_kf_frame_id == frame.frame_id:
+            cand = self.map.keyframes.get(self.ref_kid)
+            if cand is not None and cand.frame_id == frame.frame_id:
+                kf = cand
+        if kf is None:
+            kf = self._make_keyframe(frame, frame.T_cw)
         ncam, N = frame.valid.shape
         for c in range(ncam):
             for row in np.nonzero(frame.mp_ids[c] >= 0)[0]:
@@ -842,7 +878,8 @@ class Tracker:
                     apply_sim3_correction
                 apply_sim3_correction(self.map, self.rig, kf, reloc_kf,
                                       Scw, [], fix_scale=False,
-                                      pose_graph_iters=20)
+                                      pose_graph_iters=20,
+                                      scale_factors=self.scale_factors)
                 frame.T_cw = kf.T_cw.copy()
                 self.velocity = None
                 self.events.append(
@@ -1060,7 +1097,7 @@ class Tracker:
             # known pose (keeps the no-vocab configuration recoverable)
             if self.last is None or self.last.T_cw is None:
                 return False
-            mids = self._local_map_points_from_all()
+            mids = self._region_points(self.ref_kid)
             res = self._match_stage(frame, self.last.T_cw, mids, radius=50.0,
                                     max_hamming=float(self.cfg.matcher.th_high))
             if res is None or int(res.n_inliers) < 30:
@@ -1142,7 +1179,7 @@ class Tracker:
         # mono scale, so a wide window there harvests scale-biased
         # associations that corrupt the |t_sc|/|dC| estimates
         frame.T_cw = T_cw.astype(np.float64)
-        mids = self._local_map_points_from_all()
+        mids = self._region_points(kf.kid)
         radii = (30.0, 15.0, 6.0) if query_cam == resp_cam else (15.0,)
         best = None
         for radius in radii:
@@ -1162,6 +1199,39 @@ class Tracker:
         mids = np.asarray(sorted(self.map.points.keys()), np.int64)
         return mids
 
+    def _region_points(self, seed_kid: int) -> np.ndarray:
+        """Map points observed by `seed_kid`'s covisibility region, topped
+        up with the rest of the map while capacity allows.  _match_stage
+        truncates to max_local_mp slots, so passing ALL sorted mids would
+        silently drop everything after the OLDEST 4096 points — fatal for
+        relocalizing in recently mapped areas once the map outgrows the
+        cap (the region points must come first)."""
+        cap = self.cfg.capacity.max_local_mp
+        m = self.map
+        region: List[int] = []
+        seen: Set[int] = set()
+        kf = m.keyframes.get(seed_kid)
+        if kf is not None:
+            for kid in [seed_kid] + m.covisible_kfs(kf):
+                okf = m.keyframes.get(kid)
+                if okf is None:
+                    continue
+                for mid in okf.mp_idx[okf.mp_idx >= 0]:
+                    mid = int(mid)
+                    if mid not in seen:
+                        seen.add(mid)
+                        region.append(mid)
+                if len(region) >= cap:
+                    break
+        if len(region) < cap:
+            for mid in sorted(m.points.keys(), reverse=True):
+                if len(region) >= cap:
+                    break
+                if mid not in seen:
+                    seen.add(mid)
+                    region.append(mid)
+        return np.asarray(region[:cap], np.int64)
+
     def force_lost(self) -> None:
         """Manual fault injection for relocalization testing
         (System::SetCompulsoryLost, System.cc:330-333)."""
@@ -1170,11 +1240,25 @@ class Tracker:
     # ------------------------------------------------------------------
     def composed_trajectory(self):
         """[(fid, ts, T_cw)] with each frame pose re-composed against the
-        CURRENT (post-BA, post-loop) pose of its reference keyframe."""
+        CURRENT (post-BA, post-loop) pose of its reference keyframe.  If
+        the reference KF was culled, re-anchor through the parent chain
+        using the relative poses frozen at cull time (the reference's
+        Trw = Tcp-accumulating walk in System::SaveTrajectory) so the
+        frame still follows later BA/loop corrections."""
         out = []
         for fid, ts, ref_kid, T_rel, T_abs in self.trajectory:
-            ref = self.map.keyframes.get(ref_kid)
-            T = (T_rel @ ref.T_cw) if ref is not None else T_abs
+            T_acc = T_rel
+            kid = ref_kid
+            for _ in range(64):                    # chain-length bound
+                if kid in self.map.keyframes:
+                    break
+                nxt = self.map.culled_redirect.get(kid)
+                if nxt is None:
+                    break
+                kid = nxt[0]
+                T_acc = T_acc @ nxt[1]
+            ref = self.map.keyframes.get(kid)
+            T = (T_acc @ ref.T_cw) if ref is not None else T_abs
             out.append((fid, ts, T))
         return out
 
