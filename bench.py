@@ -49,12 +49,12 @@ def main() -> None:
 
     # the axon TPU tunnel occasionally drops; retry init before giving up
     # so a transient outage doesn't void the benchmark run
-    for attempt in range(5):
+    for attempt in range(20):
         try:
             jax.devices()
             break
         except RuntimeError as e:
-            if attempt == 4:
+            if attempt == 19:
                 raise
             print(f"# backend unavailable (attempt {attempt + 1}): {e}; "
                   f"retrying in 60s", file=sys.stderr)

@@ -458,14 +458,23 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
 
     uvs, lvls, angs, resps, descs = [], [], [], [], []
     pattern = jnp.asarray(brief_pattern(cfg.brief_seed, cfg.patch_size))
+    use_pallas = cfg.pallas_fast and jax.default_backend() == "tpu"
     for l, (im, budget) in enumerate(zip(pyr, budgets)):
         if budget == 0:
             continue
-        s, s_lo, sad_lo = fast_scores2(im, float(cfg.ini_th_fast),
-                                       float(cfg.min_th_fast))
-        # high-threshold corners preferred; low-threshold fill-in at a large
-        # score penalty (mirrors the per-cell retry at ORBextractor.cc:791).
-        s = nms3x3(jnp.where(s > 0, s + 1e4, s_lo))
+        if use_pallas:
+            # fused FAST(two thresholds)+blend+NMS in one VMEM pass
+            # (ops/pallas_kernels.fast_nms_pallas)
+            from orbslam2_dualcam_tpu.ops.pallas_kernels import \
+                fast_nms_pallas
+            s, sad_lo = fast_nms_pallas(im, float(cfg.ini_th_fast),
+                                        float(cfg.min_th_fast))
+        else:
+            s, s_lo, sad_lo = fast_scores2(im, float(cfg.ini_th_fast),
+                                           float(cfg.min_th_fast))
+            # high-threshold corners preferred; low-threshold fill-in at a
+            # large score penalty (the per-cell retry, ORBextractor.cc:791)
+            s = nms3x3(jnp.where(s > 0, s + 1e4, s_lo))
         yx, sc = select_keypoints(s, budget, cell=cfg.cell_size,
                                   border=cfg.edge_threshold)
         # quadratic sub-pixel refinement on the dense (arc-ungated) SAD

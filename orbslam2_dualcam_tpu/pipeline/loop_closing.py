@@ -464,6 +464,9 @@ class LoopCloser:
                                     self.rig.K, iters=10, mesh=self.mesh)
         ba_pack.unpack_result(m, res, all_kids, mids, meta,
                               chi2_th=self.cfg.ba.chi2_mono)
+        # full-map writeback: invalidate stale concurrent local-BA
+        # snapshots (see Map.geometry_epoch)
+        m.geometry_epoch += 1
 
 
 def _sim3_parts(S: np.ndarray):

@@ -64,6 +64,9 @@ class OrbConfig:
     # generated from this seed (the reference embeds a learned 256-pair
     # table, bit_pattern_31_ at ORBextractor.cc:150; we train-free sample
     # the classic BRIEF gaussian pattern instead — see ops/orb.py)
+    pallas_fast: bool = True         # fused FAST+NMS Pallas kernel on TPU
+    # (ops/pallas_kernels.fast_nms_pallas); only engages when the trace
+    # backend is tpu — CPU tests always take the XLA path
 
     @property
     def n_track(self) -> int:

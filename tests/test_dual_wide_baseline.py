@@ -75,9 +75,16 @@ def test_metric_scale_accurate_when_observable(wide_run):
         gt.append(-Tg[:3, :3].T @ Tg[:3, 3])
     est, gt = np.asarray(est), np.asarray(gt)
     _, _, s = metrics.align_umeyama(est, gt, with_scale=True)
-    # measured 1.23 on this fixture; the gate leaves noise margin but
-    # fails for any >=80% scale error (vs the 3x floor at 10cm baseline)
-    assert 0.55 < s < 1.8, f"metric scale off: {s:.3f}"
+    # measured 1.106 on this fixture with the periodic metric-GBA refresh
+    # (_maybe_metric_refresh); 1.10 is the fixture's BA optimum — restarting
+    # GBA from ground-truth scale converges back to 1.10 (RESULTS.md), so
+    # the pipeline extracts everything the observations hold.  The gate
+    # leaves noise margin but fails for >=35% scale error (vs the measured
+    # 1.24 without the refresh and the 3x floor at the 10cm baseline).
+    assert 0.75 < s < 1.35, f"metric scale off: {s:.3f}"
+    # the periodic metric refresh must actually have fired
+    assert any(e.startswith("MGBA@") for e in sys_.tracker.events), \
+        sys_.tracker.events
     # with an accurate global scale the SE3 (scale-FIXED) ATE must also
     # be bounded — this is the end-user metric the dual rig exists for
     ate_se3 = metrics.ate_rmse(est, gt, with_scale=False)
