@@ -89,6 +89,7 @@ class Tracker:
         self.last_kf_frame_id: int = -1
         self.init_frame: Optional[HostFrame] = None
         self.n_track_inliers = 0
+        self._last_slot_mids = np.empty(0, np.int64)
         self.key = jax.random.PRNGKey(cfg.vocab.seed)
         # localization-only mode: track against the frozen map, no new
         # keyframes/mapping (ActivateLocalizationMode, System.cc:182-199)
@@ -308,26 +309,48 @@ class Tracker:
         else:
             T_pred = last.T_cw.copy()
 
-        # stage 1: motion-model matching against last frame's map points
+        # stage 1: motion-model matching against last frame's map points;
+        # on a thin result retry once with a doubled window, exactly the
+        # reference's recovery inside TrackWithMotionModel
+        # (Tracking.cc:1407-1414: "if few matches, use a wider window")
         mids1 = np.unique(last.mp_ids[last.mp_ids >= 0])
         r1 = self._match_stage(frame, T_pred, mids1, radius=15.0,
                                max_hamming=float(cfg.matcher.th_high))
         n1 = int(r1.n_inliers) if r1 is not None else 0
+        if n1 < cfg.tracker.min_matches_motion:
+            r1 = self._match_stage(frame, T_pred, mids1, radius=30.0,
+                                   max_hamming=float(cfg.matcher.th_high))
+            n1 = int(r1.n_inliers) if r1 is not None else 0
+        slot_mids_r1 = self._last_slot_mids
         if r1 is not None and n1 >= cfg.tracker.min_matches_motion:
             T_cur = np.asarray(r1.T_cw)
             frame_mp = self._slots_to_mids(r1)
         else:
-            # fallback: reference-KF points, wider window
-            # (TrackReferenceKeyFrame, Tracking.cc:1295-1369)
+            # fallback: reference-KF points with NO spatial window — the
+            # role of TrackReferenceKeyFrame's SearchByBoW
+            # (Tracking.cc:1295-1369, ORBmatcher.cc:50-145), which matches
+            # purely by descriptor so it survives motion-model breakdown
+            # (e.g. an abrupt turn whose optical flow exceeds any fixed
+            # window).  The strict th_low + ratio test replaces the BoW
+            # node restriction; pose opt rejects the residual outliers.
             ref = self.map.keyframes.get(self.ref_kid)
             mids2 = (np.unique(ref.mp_idx[ref.mp_idx >= 0])
                      if ref is not None else np.empty(0, np.int64))
-            r2 = self._match_stage(frame, last.T_cw, mids2, radius=30.0,
-                                   max_hamming=float(cfg.matcher.th_high))
-            if r2 is None or int(r2.n_inliers) < cfg.tracker.min_matches_track:
+            r2 = self._match_stage(frame, last.T_cw, mids2, radius=1e5,
+                                   max_hamming=float(cfg.matcher.th_low))
+            if r2 is not None and (int(r2.n_inliers)
+                                   >= cfg.tracker.min_matches_track):
+                T_cur = np.asarray(r2.T_cw)
+                frame_mp = self._slots_to_mids(r2)
+            elif r1 is not None and n1 >= cfg.tracker.min_matches_track:
+                # the motion-model result was thin but usable — the
+                # reference accepts TrackWithMotionModel at >=10 map
+                # matches (Tracking.cc:1451 "return nmatchesMap>=10");
+                # stage 2 then re-anchors against the full local map
+                T_cur = np.asarray(r1.T_cw)
+                frame_mp = self._slots_to_mids(r1, slot_mids=slot_mids_r1)
+            else:
                 return False
-            T_cur = np.asarray(r2.T_cw)
-            frame_mp = self._slots_to_mids(r2)
 
         # stage 2: track local map (Tracking.cc:1478-1520); widen the
         # window when tracking is thin (the reference widens th after
@@ -450,11 +473,16 @@ class Tracker:
             return jnp.ones((ncam,), bool)
         return jnp.zeros((ncam,), bool).at[0].set(True)
 
-    def _slots_to_mids(self, res: frontend.TrackResult) -> np.ndarray:
+    def _slots_to_mids(self, res: frontend.TrackResult,
+                       slot_mids: Optional[np.ndarray] = None) -> np.ndarray:
+        """Map slot indices back to map-point ids.  `slot_mids` is the mids
+        array the result's _match_stage call packed (defaults to the most
+        recent call's — pass it explicitly when a later stage ran since)."""
+        table = self._last_slot_mids if slot_mids is None else slot_mids
         slots = np.asarray(res.mp_ids)
         out = np.full(slots.shape, -1, np.int64)
         ok = slots >= 0
-        out[ok] = self._last_slot_mids[slots[ok]]
+        out[ok] = table[slots[ok]]
         return out
 
     def _local_map_points(self, frame: HostFrame) -> np.ndarray:

@@ -78,6 +78,31 @@ def test_ate(mono_run):
     assert ate < 0.30, f"ATE {ate:.4f} m; events={sys_.tracker.events}"
 
 
+def test_abrupt_turn_recovery():
+    """An abrupt 9 deg/frame turn makes the optical flow (~41 px at
+    f=260) exceed both the 15 px motion-model window and its 30 px
+    widened retry — the breakdown that LOSES tracking unless the
+    reference-KF fallback matches by descriptor without a window, the
+    role of TrackReferenceKeyFrame's SearchByBoW (Tracking.cc:1295-1369).
+    Regression for the 640x480/1300x8 operating point, reproduced at
+    test scale (same angular rate, same px/window ratio)."""
+    rng = np.random.default_rng(3)
+    cfg = small_cfg()
+    world = synthetic.make_box_world(rng, n_points=2500, half=6.0)
+    sys_ = System(cfg, voc=None, enable_loop_closing=False)
+    poses = synthetic.out_and_back_trajectory(n_out=12, n_turn=20, n_back=8,
+                                              turn_radius=1.0)
+    K = np.asarray(sys_.rig.K)
+    T_sc = np.asarray(sys_.rig.T_sc)
+    states = []
+    for k, T_cw in enumerate(poses):
+        imgs = synthetic.render_rig(world, K, T_sc, T_cw, H=240, W=320)
+        states.append(sys_.track(imgs, k / 30.0))
+    n_lost = sum(1 for s in states if s == "LOST")
+    assert n_lost == 0, (states, sys_.tracker.events)
+    assert states[-1] == "OK", (states, sys_.tracker.events)
+
+
 def test_savers(mono_run, tmp_path):
     sys_, _, _ = mono_run
     fp = tmp_path / "frames.txt"
