@@ -150,6 +150,36 @@ def project_and_match(T_pred: jax.Array,
 
 
 @jax.jit
+def project_and_match_batch(T_preds: jax.Array,
+                            feats_uv: jax.Array, feats_desc: jax.Array,
+                            feats_level: jax.Array, feats_valid: jax.Array,
+                            mp_pos: jax.Array, mp_desc: jax.Array,
+                            mp_valid: jax.Array, mp_max_dist: jax.Array,
+                            mp_min_dist: jax.Array, mp_normal: jax.Array,
+                            rig: CameraRig, radius: jax.Array,
+                            level_scales: jax.Array, max_hamming: jax.Array,
+                            view_cos_th: jax.Array,
+                            cam_enabled: jax.Array):
+    """project_and_match vmapped over a batch of target keyframes sharing
+    one map-point set — the Fuse fan-out of SearchInNeighbors
+    (LocalMapping.cc:492-570), which projects the same points into every
+    covisible neighbour.  One dispatch replaces one per neighbour (a
+    ~10-30x cut in device round-trips per keyframe).
+
+    Leading axis of T_preds/feats_* is the target keyframe; returns
+    (mp_of_kp [B, ncam, N], vis_any [B, M])."""
+
+    def one(T, uv, desc, lvl, val):
+        return project_and_match(
+            T, uv, desc, lvl, val, mp_pos, mp_desc, mp_valid, mp_max_dist,
+            mp_min_dist, mp_normal, rig, radius, level_scales, max_hamming,
+            view_cos_th, cam_enabled)
+
+    return jax.vmap(one)(T_preds, feats_uv, feats_desc, feats_level,
+                         feats_valid)
+
+
+@jax.jit
 def match_projection_pose(T_pred: jax.Array,
                           feats_uv: jax.Array, feats_desc: jax.Array,
                           feats_level: jax.Array, feats_angle: jax.Array,
@@ -240,6 +270,28 @@ def triangulate_pair(T1: jax.Array, T2: jax.Array, cam: jax.Array,
     good = m & epi.triangulation_checks(
         T1c, T2c, X, K, K, uv1, uv2[sel], s1, s2)
     return idx, X, good
+
+
+@jax.jit
+def triangulate_pairs_batch(T1: jax.Array, T2: jax.Array, cam: jax.Array,
+                            uv1: jax.Array, desc1: jax.Array,
+                            level1: jax.Array, free1: jax.Array,
+                            uv2: jax.Array, desc2: jax.Array,
+                            level2: jax.Array, free2: jax.Array,
+                            rig: CameraRig, level_scales: jax.Array,
+                            max_hamming: jax.Array):
+    """triangulate_pair vmapped over (neighbour, camera) pairs — the
+    CreateNewMapPoints fan-out (LocalMapping.cc:275-490 iterates the ~10
+    covisible neighbours sequentially; here they are one batched device
+    program).  All args except rig/level_scales/max_hamming carry a
+    leading pair axis (T1 included: the current keyframe repeats)."""
+
+    def one(t1, t2, c, u1, d1, l1, f1, u2, d2, l2, f2):
+        return triangulate_pair(t1, t2, c, u1, d1, l1, f1, u2, d2, l2, f2,
+                                rig, level_scales, max_hamming)
+
+    return jax.vmap(one)(T1, T2, cam, uv1, desc1, level1, free1,
+                         uv2, desc2, level2, free2)
 
 
 @jax.jit

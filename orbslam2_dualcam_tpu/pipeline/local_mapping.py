@@ -121,6 +121,9 @@ class LocalMapper:
         ncam = self.cfg.n_cameras
         N = len(kf.kp_valid) // ncam
         cams = range(ncam) if m.map_scaled else [0]
+        # gather every (neighbour, camera) pair passing the host gates,
+        # then triangulate ALL pairs in one batched device dispatch
+        pairs: List[tuple] = []          # (nkf, c)
         for nkid in neighbors:
             nkf = m.keyframes.get(nkid)
             if nkf is None:
@@ -136,37 +139,57 @@ class LocalMapper:
                 free2 = (nkf.kp_valid[g:g + N] & (nkf.mp_idx[g:g + N] < 0))
                 if free1.sum() < 10 or free2.sum() < 10:
                     continue
-                idx, X, good = frontend.triangulate_pair(
-                    jnp.asarray(kf.T_cw.astype(np.float32)),
-                    jnp.asarray(nkf.T_cw.astype(np.float32)),
-                    jnp.asarray(c),
-                    jnp.asarray(kf.uv[g:g + N].astype(np.float32)),
-                    jnp.asarray(kf.desc[g:g + N].astype(np.uint32)),
-                    jnp.asarray(kf.level[g:g + N]),
-                    jnp.asarray(free1),
-                    jnp.asarray(nkf.uv[g:g + N].astype(np.float32)),
-                    jnp.asarray(nkf.desc[g:g + N].astype(np.uint32)),
-                    jnp.asarray(nkf.level[g:g + N]),
-                    jnp.asarray(free2),
-                    self.rig, self._level_scales,
-                    jnp.float32(self.cfg.matcher.th_low))
-                idx = np.asarray(idx)
-                X = np.asarray(X, np.float64)
-                good = np.asarray(good)
-                for r1 in np.nonzero(good)[0]:
-                    r2 = int(idx[r1])
-                    g1 = g + int(r1)
-                    g2 = g + r2
-                    if kf.mp_idx[g1] >= 0 or nkf.mp_idx[g2] >= 0:
-                        continue
-                    mp = m.new_point(X[r1], kf.kid, c)
-                    mp.first_kf_id = kf.kid
-                    m.add_observation(mp, kf, g1, c)
-                    m.add_observation(mp, nkf, g2, c)
-                    update_point_stats(mp, m, np.asarray(self.rig.T_sc),
-                                       self.scale_factors)
-                    self.recent_mids.append(mp.mid)
-                    self.n_triangulated += 1
+                pairs.append((nkf, c, free1, free2))
+        if not pairs:
+            return
+        P = len(pairs)
+        Pp = next((b for b in _FUSE_BUCKETS if b >= P), _FUSE_BUCKETS[-1])
+        pairs = pairs[:Pp]
+        batch = pairs + [pairs[-1]] * (Pp - len(pairs))
+
+        def stack(fn, dtype=None):
+            a = np.stack([fn(nkf, c, f1, f2) for nkf, c, f1, f2 in batch])
+            return a.astype(dtype) if dtype is not None else a
+
+        sl = lambda arr, c: arr[c * N:(c + 1) * N]
+        idx_b, X_b, good_b = frontend.triangulate_pairs_batch(
+            jnp.asarray(stack(lambda nkf, c, f1, f2: kf.T_cw, np.float32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: nkf.T_cw, np.float32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: c, np.int32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(kf.uv, c),
+                              np.float32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(kf.desc, c),
+                              np.uint32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(kf.level, c))),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: f1)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(nkf.uv, c),
+                              np.float32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(nkf.desc, c),
+                              np.uint32)),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: sl(nkf.level, c))),
+            jnp.asarray(stack(lambda nkf, c, f1, f2: f2)),
+            self.rig, self._level_scales,
+            jnp.float32(self.cfg.matcher.th_low))
+        idx_b = np.asarray(idx_b)
+        X_b = np.asarray(X_b, np.float64)
+        good_b = np.asarray(good_b)
+        T_sc_np = np.asarray(self.rig.T_sc)
+        for i, (nkf, c, _, _) in enumerate(pairs):
+            g = c * N
+            idx, X, good = idx_b[i], X_b[i], good_b[i]
+            for r1 in np.nonzero(good)[0]:
+                r2 = int(idx[r1])
+                g1 = g + int(r1)
+                g2 = g + r2
+                if kf.mp_idx[g1] >= 0 or nkf.mp_idx[g2] >= 0:
+                    continue
+                mp = m.new_point(X[r1], kf.kid, c)
+                mp.first_kf_id = kf.kid
+                m.add_observation(mp, kf, g1, c)
+                m.add_observation(mp, nkf, g2, c)
+                update_point_stats(mp, m, T_sc_np, self.scale_factors)
+                self.recent_mids.append(mp.mid)
+                self.n_triangulated += 1
 
     def _cam_enabled(self):
         import jax.numpy as jnp
@@ -210,12 +233,13 @@ class LocalMapper:
                     if nnkid not in seen:
                         seen.add(nnkid)
                         targets.append(nnkid)
-        # forward: kf's points into each target
+        # forward: kf's points into every target in ONE batched dispatch
         mids = [int(x) for x in kf.mp_idx[kf.mp_idx >= 0]]
-        for nkid in targets:
-            nkf = m.keyframes.get(nkid)
-            if nkf is not None:
-                self.n_fused += self._fuse_into(nkf, mids)
+        tkfs = [m.keyframes[nkid] for nkid in targets
+                if nkid in m.keyframes]
+        self.n_fused += fuse_into_batch(
+            m, self.rig, self.cfg, self.scale_factors, self._level_scales,
+            tkfs, mids, cam_enabled=self._cam_enabled())
         # reverse: targets' points into kf
         nmids: Set[int] = set()
         for nkid in targets:
@@ -465,8 +489,15 @@ class LocalMapper:
 # and LoopCloser (SearchAndFuse, LoopClosing.cc:703-733).
 
 def pack_points(m: Map, cap: int, mids: List[int]):
-    """Pack map points into padded device-shape arrays (slot i = mids[i])."""
+    """Pack map points into padded device-shape arrays (slot i = mids[i]).
+
+    The padded size is the smallest power-of-two bucket >= len(mids)
+    (min 256, max `cap`): the downstream Hamming matmul is linear in the
+    packed size, so padding a 600-point fuse set to a fixed 2048 would
+    triple its FLOPs for nothing.  A handful of bucket shapes keeps the
+    compile count bounded."""
     mids = [mid for mid in mids if mid in m.points][:cap]
+    cap = min(cap, max(256, 1 << int(np.ceil(np.log2(max(len(mids), 1))))))
     pos = np.zeros((cap, 3), np.float32)
     desc = np.zeros((cap, 8), np.uint32)
     normal = np.zeros((cap, 3), np.float32)
@@ -511,7 +542,72 @@ def fuse_into(m: Map, rig: CameraRig, cfg: SystemConfig,
         rig, jnp.float32(radius), level_scales,
         jnp.float32(cfg.matcher.th_low), jnp.float32(0.5),
         cam_enabled)
+    return _apply_fuse_matches(m, rig, cfg, scale_factors, target, mids,
+                               np.asarray(mp_of_kp))
+
+
+_FUSE_BUCKETS = (2, 4, 8, 16, 32, 64)
+
+
+def fuse_into_batch(m: Map, rig: CameraRig, cfg: SystemConfig,
+                    scale_factors: np.ndarray, level_scales,
+                    targets: List[KeyFrame], mids: List[int],
+                    radius: float = 3.0, cam_enabled=None) -> int:
+    """Fuse one point set into MANY target keyframes with a single device
+    dispatch (the SearchInNeighbors fan-out, LocalMapping.cc:492-570).
+
+    The batch is padded to a small set of compile-size buckets so the
+    vmapped program compiles a handful of times total.  The host-side
+    merge (observation add / MapPoint::Replace) stays sequential per
+    target, preserving the single-target semantics."""
+    if not targets:
+        return 0
+    if len(targets) == 1:
+        return fuse_into(m, rig, cfg, scale_factors, level_scales,
+                         targets[0], mids, radius, cam_enabled)
+    mids, pos, desc, valid, dmax, dmin, normal = pack_points(
+        m, cfg.capacity.max_local_mp, mids)
+    if len(mids) < 5 or valid.sum() < 5:
+        return 0
+    ncam = cfg.n_cameras
+    N = len(targets[0].kp_valid) // ncam
+    if cam_enabled is None:
+        cam_enabled = jnp.ones((ncam,), bool)
+    B = len(targets)
+    Bp = next((b for b in _FUSE_BUCKETS if b >= B), _FUSE_BUCKETS[-1])
+    targets = targets[:Bp]
+    pad = [targets[-1]] * (Bp - len(targets))
+    batch = targets + pad
+    T = np.stack([t.T_cw for t in batch]).astype(np.float32)
+    uv = np.stack([t.uv.reshape(ncam, N, 2) for t in batch]).astype(
+        np.float32)
+    dsc = np.stack([t.desc.reshape(ncam, N, 8) for t in batch]).astype(
+        np.uint32)
+    lvl = np.stack([t.level.reshape(ncam, N) for t in batch])
+    val = np.stack([t.kp_valid.reshape(ncam, N) for t in batch])
+    mp_of_kp, _ = frontend.project_and_match_batch(
+        jnp.asarray(T), jnp.asarray(uv), jnp.asarray(dsc),
+        jnp.asarray(lvl), jnp.asarray(val),
+        jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+        jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
+        rig, jnp.float32(radius), level_scales,
+        jnp.float32(cfg.matcher.th_low), jnp.float32(0.5), cam_enabled)
     mp_of_kp = np.asarray(mp_of_kp)
+    n = 0
+    for i, t in enumerate(targets):
+        n += _apply_fuse_matches(m, rig, cfg, scale_factors, t, mids,
+                                 mp_of_kp[i])
+    return n
+
+
+def _apply_fuse_matches(m: Map, rig: CameraRig, cfg: SystemConfig,
+                        scale_factors: np.ndarray, target: KeyFrame,
+                        mids: List[int], mp_of_kp: np.ndarray) -> int:
+    """Host half of Fuse: walk the device matches, add observations or
+    merge duplicate points under the reprojection chi2 gate
+    (ORBmatcher.cc:1490-1558)."""
+    ncam = cfg.n_cameras
+    N = len(target.kp_valid) // ncam
     T_sc = np.asarray(rig.T_sc)
     Ks = np.asarray(rig.K)
     sig2 = scale_factors ** 2

@@ -434,6 +434,10 @@ class Tracker:
         M = len(mids)
         if M < 10:
             return None
+        # bucket the padded size (power of two, min 256): the projection
+        # matcher's Hamming matmul is linear in the packed size, and the
+        # local-point set is usually well under the capacity cap
+        cap = min(cap, max(256, 1 << int(np.ceil(np.log2(M)))))
         pos = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)
         normal = np.zeros((cap, 3), np.float32)
