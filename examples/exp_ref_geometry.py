@@ -78,7 +78,8 @@ def main():
     ev = sys_.tracker.events
     for e in ev:
         if any(e.startswith(p) for p in
-               ("XRELOC", "SCALED", "XTRY", "MGBA", "LOST", "XBOW")):
+               ("XRELOC", "SCALED", "XTRY", "MGBA", "LOST", "XBOW",
+                "XPNP", "XREF", "XROT", "XANCHOR")):
             print(e)
     print("final state:", states[-1],
           "n_lost:", sum(1 for s in states if s == "LOST"))

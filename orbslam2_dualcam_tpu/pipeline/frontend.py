@@ -306,3 +306,23 @@ def match_bow_frame_kf(desc_f: jax.Array, nodes_f: jax.Array,
     return matching.match_masked(
         desc_f, desc_k, allow=allow, valid_a=valid_f, valid_b=valid_k,
         max_dist=max_dist, ratio=ratio, angle_a=angle_f, angle_b=angle_k)
+
+
+@jax.jit
+def match_desc_frame_kf(desc_f: jax.Array, angle_f: jax.Array,
+                        valid_f: jax.Array, desc_k: jax.Array,
+                        angle_k: jax.Array, valid_k: jax.Array,
+                        max_dist: jax.Array, ratio: jax.Array):
+    """Windowless descriptor-only Frame<->KF match: the fallback when the
+    direct-index node mask of match_bow_frame_kf is too coarse (small
+    training vocabularies collapse distinct features into one node's
+    competition, or scatter true pairs across nodes).  The reference's
+    node restriction (ORBmatcher.cc:162-296 walks aligned FeatureVector
+    nodes) is a CPU pruning device, not a correctness gate — on the MXU
+    the full NxM Hamming matrix is affordable, so we match unrestricted
+    with the strict threshold + Lowe ratio + mutual-best + rotation
+    histogram carrying the outlier rejection instead."""
+    return matching.match_masked(
+        desc_f, desc_k, valid_a=valid_f, valid_b=valid_k,
+        max_dist=max_dist, ratio=ratio, angle_a=angle_f, angle_b=angle_k,
+        mutual=True)

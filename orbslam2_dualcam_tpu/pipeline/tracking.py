@@ -692,6 +692,23 @@ class Tracker:
             idx = np.asarray(res.idx)
             rows_f = np.nonzero(idx >= 0)[0]
             if len(rows_f) < 15:
+                # windowless fallback: with a coarse vocabulary the node
+                # mask drops true pairs; retry descriptor-only (mutual +
+                # ratio + rotation histogram carry the rejection)
+                res2 = frontend.match_desc_frame_kf(
+                    jnp.asarray(frame.desc[query_cam]),
+                    jnp.asarray(frame.angle[query_cam]),
+                    jnp.asarray(frame.valid[query_cam]),
+                    jnp.asarray(kf.desc[:N].astype(np.uint32)),
+                    jnp.asarray(kf.angle[:N]),
+                    jnp.asarray(kf.kp_valid[:N] & (kf.mp_idx[:N] >= 0)),
+                    jnp.float32(self.cfg.matcher.th_low),
+                    jnp.float32(self.cfg.matcher.nn_ratio_bow))
+                idx2 = np.asarray(res2.idx)
+                rows2 = np.nonzero(idx2 >= 0)[0]
+                if len(rows2) > len(rows_f):
+                    idx, rows_f = idx2, rows2
+            if len(rows_f) < 8:
                 self.events.append(
                     f"XBOW@{frame.frame_id} kf={kid} n={len(rows_f)}")
                 continue
@@ -704,14 +721,21 @@ class Tracker:
                 X.append(mp.pos)
                 uv.append(frame.uv[query_cam][rf])
                 pairs.append((int(rf), mid))
-            if len(X) < 15:
+            if len(X) < 8:
                 continue
             T_1w, inl, cnt, ok = ransac.pnp_ransac(
                 self._next_key(),
                 jnp.asarray(np.asarray(X, np.float32)),
                 jnp.asarray(np.asarray(uv, np.float32)),
                 jnp.ones(len(X), bool), self.rig.K[query_cam])
-            if not bool(ok) or int(cnt) < 20:
+            # adaptive accept: rich seeds keep the reference's absolute bar
+            # (>=20 of >=15, Tracking.cc:865); thin seeds (wide-yaw rigs
+            # where cross-view ORB matching is sparse) are allowed through
+            # on a HIGH inlier fraction instead, because the projection
+            # refine + rotation-consistency gates below re-verify the pose
+            # against the whole reloc'd region before anything is accepted
+            min_inl = min(20, max(8, int(round(0.6 * len(X)))))
+            if not bool(ok) or int(cnt) < min_inl:
                 self.events.append(
                     f"XPNP@{frame.frame_id} kf={kid} n={len(X)} "
                     f"inl={int(cnt)}")
@@ -739,9 +763,13 @@ class Tracker:
                     break
                 T_cur = np.asarray(r.T_cw, np.float64)
                 rbest = r
-            if rbest is None or int(rbest.n_inliers) < int(cnt):
+            # absolute projection-confirmation floor: a thin PnP seed must
+            # grow to >=25 strict-threshold projection inliers against the
+            # region's local map or the pose is rejected outright
+            if rbest is None or int(rbest.n_inliers) < max(25, int(cnt)):
                 self.events.append(
-                    f"XREF@{frame.frame_id} kf={kid} refine failed")
+                    f"XREF@{frame.frame_id} kf={kid} refine failed "
+                    f"({0 if rbest is None else int(rbest.n_inliers)})")
                 continue
             n_good = int(rbest.n_inliers)
             T_1w = np.asarray(self.rig.T_sc)[query_cam] @ T_cur
