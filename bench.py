@@ -42,10 +42,8 @@ def main() -> None:
 
     if os.environ.get("SLAM_BENCH_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from orbslam2_dualcam_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
     # the axon TPU tunnel occasionally drops; retry init before giving up
     # so a transient outage doesn't void the benchmark run
@@ -124,6 +122,20 @@ def main() -> None:
     dt = max((t2 - t1) / (n2 - n1), 1e-6)
 
     fps = 1.0 / dt
+
+    # ---- end-to-end System.track (live map, KF policy, vocabulary
+    # quantization, local mapping amortized) — the whole-system number the
+    # reference's 30 fps claim refers to (System.cc:153-180).  Under the
+    # remote-tunnel backend every frame pays host<->device round trips
+    # that a locally-attached chip does not; the per-stage profile
+    # separates on-chip time from that transport overhead.
+    e2e = None
+    if os.environ.get("SLAM_BENCH_E2E", "1") == "1":
+        try:
+            e2e = bench_end_to_end(cfg)
+        except Exception as e:  # never void the headline number
+            print(f"# e2e bench failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "dual_tracking_fps_per_chip",
         "value": round(fps, 2),
@@ -131,10 +143,64 @@ def main() -> None:
                 "extract+match+poseopt+motion-model, chained-frame timing)",
         "vs_baseline": round(fps / 30.0, 3),
     }
+    if e2e is not None:
+        result.update(e2e)
     print(json.dumps(result))
     print(f"# compile {compile_s:.1f}s, steady {dt*1e3:.2f} ms/frame "
           f"(chain {n1}: {t1:.2f}s, chain {n2}: {t2:.2f}s), "
           f"backend={jax.devices()[0].platform}", file=sys.stderr)
+
+
+def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
+    """Drive System.track on a synthetic dual 640x480 sequence at the
+    reference operating point and time the steady-state tail."""
+    import jax.numpy as jnp
+
+    from orbslam2_dualcam_tpu.ops import orb as orb_ops
+    from orbslam2_dualcam_tpu.pipeline.system import System
+    from orbslam2_dualcam_tpu.utils import synthetic
+    from orbslam2_dualcam_tpu.vocab import bow
+
+    rng = np.random.default_rng(1)
+    world = synthetic.make_box_world(rng, n_points=6000, half=6.0)
+    poses = synthetic.orbit_trajectory(n_frames, radius=1.5,
+                                       total_angle=1.2 * np.pi)
+    sys_ = System(cfg, voc=None, enable_loop_closing=False)
+    K = np.asarray(sys_.rig.K)
+    T_sc = np.asarray(sys_.rig.T_sc)
+    # vocabulary from a sequence subsample so extraction includes the
+    # quantization step (Frame.cc:393-408)
+    descs = []
+    for T in poses[::15]:
+        img = synthetic.render(world, K[0], T, H=480, W=640)
+        f = orb_ops.extract_orb(jnp.asarray(img), cfg.orb, cfg.orb.n_track)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = bow.train_vocabulary(np.concatenate(descs)[:20000], branching=8,
+                               depth=3, seed=7, weight_docs=descs)
+    sys_ = System(cfg, voc=voc, enable_loop_closing=False)
+    frames = [synthetic.render_rig(world, K, T_sc, T, H=480, W=640)
+              for T in poses]                         # host-side, untimed
+
+    times = []
+    for k, imgs in enumerate(frames):
+        t0 = time.time()
+        sys_.track(imgs, k / 30.0)
+        times.append(time.time() - t0)
+    tail = np.asarray(times[warmup:])
+    med = float(np.median(tail))
+    prof = {k: round(float(np.median(v[warmup // 2:])) * 1e3, 2)
+            for k, v in sys_.tracker.timer.samples.items()
+            if len(v) > warmup // 2}
+    return {
+        "e2e_system_fps": round(1.0 / max(med, 1e-9), 2),
+        "e2e_median_ms": round(med * 1e3, 2),
+        "e2e_p90_ms": round(float(np.percentile(tail, 90)) * 1e3, 2),
+        "e2e_frames": len(tail),
+        "e2e_stage_ms_per_frame": prof,
+        "e2e_note": "System.track end-to-end incl. host pipeline + "
+                    "per-frame device round trips over the tunnel "
+                    "(SLAM_BENCH_E2E=0 to skip)",
+    }
 
 
 if __name__ == "__main__":

@@ -43,10 +43,9 @@ def main():
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from orbslam2_dualcam_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
     import jax.numpy as jnp
 

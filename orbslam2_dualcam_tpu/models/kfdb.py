@@ -7,18 +7,21 @@ queried asymmetrically — camera `query_cam`'s BoW vector against camera
 `resp_cam`'s index — which is THE enabler of cross-camera relocalization
 (DetectRelocalizationCandidatesForCam, :250-370).
 
-Index bookkeeping is host-side (irregular lists); candidate *scoring* is a
-dense device op: stacked BoW matrices per camera allow all-pairs L1 scores
-as one subtraction+reduction (vocab/bow.score_l1)."""
+Index bookkeeping is host-side (irregular lists).  BoW vectors are SPARSE
+(word -> weight), exactly DBoW2's BowVector representation: at ORBvoc scale
+(1e6 words) a dense vector is 4 MB/KF/camera, a sparse one ~10 KB, and the
+L1 score only ever needs the intersection of active words
+(vocab/bow.score_sparse, ScoringObject.h:76 semantics)."""
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
 from orbslam2_dualcam_tpu.models.map import KeyFrame, Map
+from orbslam2_dualcam_tpu.vocab.bow import SparseBow, score_sparse
 
 
 try:  # native C++ postings index (orbslam2_dualcam_tpu/native/invfile.cpp)
@@ -34,9 +37,7 @@ class KeyFrameDatabase:
         # is on by default: ASan+UBSan-clean under a randomized stress
         # (adds with out-of-range words, erases of unknown kids, tiny query
         # caps, clears — 60k ops), plus the Python-equivalence test
-        # (tests/test_native_invfile.py).  Round-1's suspected XLA heap
-        # interaction never reproduced under sanitizers or the combined
-        # jax+native session stress.
+        # (tests/test_native_invfile.py).
         self.n_cameras = n_cameras
         self.n_words = n_words
         self.native = (NativeInvertedFile(n_cameras, n_words)
@@ -45,12 +46,19 @@ class KeyFrameDatabase:
         # fallback: inverted[cam][word] = set of kids
         self.inverted: List[Dict[int, Set[int]]] = [
             defaultdict(set) for _ in range(n_cameras)]
-        # dense per-camera BoW vectors for device scoring: kid -> np [n_words]
-        self.bow: List[Dict[int, np.ndarray]] = [dict() for _ in range(n_cameras)]
+        # sparse per-camera BoW vectors: kid -> SparseBow
+        self.bow: List[Dict[int, SparseBow]] = [dict()
+                                                for _ in range(n_cameras)]
+
+    @property
+    def nbytes_bow(self) -> int:
+        """Total BoW-vector storage (the scale-gated budget)."""
+        return sum(v.nbytes for per_cam in self.bow
+                   for v in per_cam.values())
 
     # -- maintenance ------------------------------------------------------
     def add(self, kid: int, cam: int, words: np.ndarray,
-            bow_vec: np.ndarray) -> None:
+            bow_vec: SparseBow) -> None:
         """Register camera `cam` of keyframe `kid` (KeyFrameDatabase::add,
         :66-73 adds per camera)."""
         if self.native is not None:
@@ -64,10 +72,10 @@ class KeyFrameDatabase:
         if self.native is not None:
             self.native.erase(kid)
         for cam in range(self.n_cameras):
-            bow = self.bow[cam].pop(kid, None)
-            if bow is None or self.native is not None:
+            vec = self.bow[cam].pop(kid, None)
+            if vec is None or self.native is not None:
                 continue
-            for w in np.nonzero(bow)[0]:
+            for w in vec.words:
                 self.inverted[cam][int(w)].discard(kid)
 
     def clear(self) -> None:
@@ -89,12 +97,18 @@ class KeyFrameDatabase:
                     counts[kid] += 1
         return counts
 
-    def _score_and_group(self, counts: Dict[int, int], query_bow: np.ndarray,
+    def _score_and_group(self, counts: Dict[int, int], query_bow: SparseBow,
                          resp_cam: int, mp: Map, min_score: float,
                          min_common_frac: float = 0.8,
                          keep_frac: float = 0.75) -> List[int]:
-        """Shared-word gating + covisibility-group accumulation, mirroring
-        DetectLoopCandidatesForCam (KeyFrameDatabase.cc:111-247)."""
+        """Shared-word gating + best-covisibility-group accumulation,
+        mirroring DetectLoopCandidatesForCam (KeyFrameDatabase.cc:111-247).
+
+        For each scored candidate, its accumulator group is its 10 BEST
+        covisible keyframes (GetBestCovisibilityKeyFrames, :167-172); the
+        group's accumulated score competes, and the group's best-scoring
+        MEMBER is what gets returned (:173-199) — so a strong neighbour
+        promotes the whole region even when the direct hit is mediocre."""
         if not counts:
             return []
         max_common = max(counts.values())
@@ -103,22 +117,21 @@ class KeyFrameDatabase:
         for kid, c in counts.items():
             if c < min_common:
                 continue
-            bow = self.bow[resp_cam].get(kid)
-            if bow is None:
+            vec = self.bow[resp_cam].get(kid)
+            if vec is None:
                 continue
-            s = 1.0 - 0.5 * float(np.abs(query_bow - bow).sum())
+            s = score_sparse(query_bow, vec)
             if s >= min_score:
                 scored[kid] = s
         if not scored:
             return []
-        # accumulate over covisibility groups; candidate = best of group
         best_acc = 0.0
-        groups: List[tuple[float, int]] = []
+        groups: List[Tuple[float, int]] = []
         for kid, s in scored.items():
             kf = mp.keyframes.get(kid)
             acc, best_kid, best_s = s, kid, s
             if kf is not None:
-                for nkid in list(kf.covis)[:10]:
+                for nkid in mp.covisible_kfs(kf, 10):
                     ns = scored.get(nkid)
                     if ns is not None:
                         acc += ns
@@ -133,7 +146,8 @@ class KeyFrameDatabase:
                 out.append(kid)
         return out
 
-    def detect_reloc_candidates(self, words: np.ndarray, query_bow: np.ndarray,
+    def detect_reloc_candidates(self, words: np.ndarray,
+                                query_bow: SparseBow,
                                 query_cam: int, resp_cam: int,
                                 mp: Map) -> List[int]:
         """Relocalization candidates for a *frame*'s camera `query_cam`
@@ -146,7 +160,7 @@ class KeyFrameDatabase:
                                      min_score=0.0)
 
     def detect_loop_candidates(self, kf: KeyFrame, words: np.ndarray,
-                               query_bow: np.ndarray, query_cam: int,
+                               query_bow: SparseBow, query_cam: int,
                                resp_cam: int, mp: Map,
                                min_score: float) -> List[int]:
         """Loop candidates for keyframe `kf` (DetectLoopCandidatesForCam,

@@ -497,12 +497,14 @@ def _pnp_planar_hypotheses(key: jax.Array, X: jax.Array, uv_n: jax.Array,
 
 def pnp_ransac(key: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
                K: jax.Array, n_hyp: int = 256, th_px: float = 5.991 ** 0.5,
-               refine_rounds: int = 2):
+               refine_rounds: int = 2, min_inliers: int = 12):
     """Batched DLT-PnP RANSAC (replaces PnPsolver::iterate,
     PnPsolver.cc:201-294).  X [N,3] world, uv [N,2] pixels (single camera).
     Minimal 6-point hypotheses pick the consensus set; the winner is then
     refit on all its inliers (`refine_rounds`x), replacing PnPsolver::Refine.
-    Returns (T_cw, inliers, n_inliers, success)."""
+    Returns (T_cw, inliers, n_inliers, success: n_inliers >= min_inliers —
+    callers with thin seeds (e.g. wide-yaw cross-camera reloc) may lower
+    min_inliers; downstream gates must then carry the burden)."""
     N = X.shape[0]
     Kinv = jnp.linalg.inv(K)
     uv_n = (jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], -1) @ Kinv.T)[:, :2]
@@ -545,7 +547,7 @@ def pnp_ransac(key: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
         T = _pnp_gn_refine(T, X, uv_n, inl.astype(X.dtype))
         inl, _ = classify(T, th)
     n = jnp.sum(inl)
-    return T, inl, n, n >= 12
+    return T, inl, n, n >= min_inliers
 
 
 def _pnp_gn_refine(T: jax.Array, X: jax.Array, uv_n: jax.Array,

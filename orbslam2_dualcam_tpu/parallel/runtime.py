@@ -49,11 +49,18 @@ def solve_ba_auto(prob: BAProblem, T_sc, adj_sc, Ks, iters: int,
     the dual bootstrap's metric GBA) so the SAME code path serves a
     laptop-scale map and a pod-scale one."""
     E = prob.edges.kf.shape[0]
-    if mesh is not None and E >= dist_edge_threshold \
-            and E % mesh.shape["data"] == 0:
-        from orbslam2_dualcam_tpu.parallel import dist_ba
-        return dist_ba.solve_ba_distributed(
-            prob, T_sc, adj_sc, Ks, mesh, iters=iters, cg_iters=cg_iters,
-            cfg=cfg, robust=robust)
+    if mesh is not None and E >= dist_edge_threshold:
+        if E % mesh.shape["data"] == 0:
+            from orbslam2_dualcam_tpu.parallel import dist_ba
+            return dist_ba.solve_ba_distributed(
+                prob, T_sc, adj_sc, Ks, mesh, iters=iters,
+                cg_iters=cg_iters, cfg=cfg, robust=robust)
+        # never silent: edge buckets are powers of two today, so this
+        # can only trip if _bucket changes — make that visible
+        import logging
+        logging.getLogger(__name__).warning(
+            "solve_ba_auto: E=%d not divisible by mesh size %d — "
+            "falling back to single-device BA (pad the edge bucket)",
+            E, mesh.shape["data"])
     return ba.solve_ba(prob, T_sc, adj_sc, Ks, iters=iters, cfg=cfg,
                        cg_iters=cg_iters, robust=robust)

@@ -46,6 +46,7 @@ class LocalMapper:
         self.n_triangulated = 0
         self.n_fused = 0
         self.n_culled_kf = 0
+        self.n_capacity_skipped = 0   # triangulations refused at MP cap
         self.n_cross_harvested = 0           # SearchCrossCameras adds+merges
         self.last_cross_kid = -10**9         # last successful harvest KF
         self.key = jax.random.PRNGKey(11)
@@ -178,6 +179,11 @@ class LocalMapper:
             g = c * N
             idx, X, good = idx_b[i], X_b[i], good_b[i]
             for r1 in np.nonzero(good)[0]:
+                if m.n_points >= self.cfg.capacity.max_mappoints:
+                    # hard map-point capacity: culling frees slots; count
+                    # refusals so capacity pressure is never silent
+                    self.n_capacity_skipped += 1
+                    break
                 r2 = int(idx[r1])
                 g1 = g + int(r1)
                 g2 = g + r2
@@ -287,9 +293,7 @@ class LocalMapper:
         vvalid = kf.kp_valid[:N] & (words >= 0)
         if int(vvalid.sum()) < 20:
             return
-        vec = np.asarray(bow.bow_vector(
-            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
-            jnp.asarray(vvalid)))
+        vec = bow.sparse_bow(self.voc, words, vvalid)
         cands = self.kfdb.detect_reloc_candidates(
             np.where(vvalid, words, -1), vec, 0, 1, m)
         # candidates must already be covisibility-connected (:592-597)

@@ -73,16 +73,13 @@ class LoopCloser:
         N = len(kf.word) // ncam
         words = kf.word[:N]
         vvalid = kf.kp_valid[:N] & (words >= 0)
-        vec = np.asarray(bow.bow_vector(
-            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
-            jnp.asarray(vvalid)))
+        vec = bow.sparse_bow(self.voc, words, vvalid)
         # min score vs covisible neighbours (LoopClosing.cc:130-151)
         min_score = 1.0
         for nkid in m.covisible_kfs(kf):
             nb = self.kfdb.bow[0].get(nkid)
             if nb is not None:
-                s = 1.0 - 0.5 * float(np.abs(vec - nb).sum())
-                min_score = min(min_score, s)
+                min_score = min(min_score, bow.score_sparse(vec, nb))
         cands = self.kfdb.detect_loop_candidates(
             kf, np.where(vvalid, words, -1), vec, 0, 0, m, min_score)
         self.debug_log.append(

@@ -48,6 +48,7 @@ class HostFrame:
     nodes: np.ndarray
     T_cw: np.ndarray | None = None
     mp_ids: np.ndarray | None = None    # [ncam, N] map-point mid or -1
+    response: np.ndarray | None = None  # [ncam, N] FAST score
 
     @property
     def ncam(self) -> int:
@@ -79,6 +80,14 @@ class Tracker:
         self.state = self.NOT_INITIALIZED
 
         self.extract = frontend.make_extract_fn(cfg, cfg.orb.n_track, voc, rig)
+        # 2x feature budget while NOT_INITIALIZED (mpIniORBextractor,
+        # Tracking.cc:204-207): a denser candidate pool makes the two-view
+        # init both more likely to find 100 matches and better conditioned.
+        # KeyFrames keep the uniform n_track shape — the init frames are
+        # down-selected before KF creation (_shrink_frame)
+        self.extract_init = (
+            frontend.make_extract_fn(cfg, cfg.orb.n_init, voc, rig)
+            if cfg.orb.n_init != cfg.orb.n_track else self.extract)
         self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
         self._level_scales = jnp.asarray(self.scale_factors)
 
@@ -137,7 +146,9 @@ class Tracker:
         """Main per-frame entry (System::TrackDual -> Tracking::GrabImageDual,
         System.cc:153-180).  images [ncam, H, W] float32 grayscale."""
         with self.timer("extract"):
-            fd = self.extract(jnp.asarray(images))
+            ex = (self.extract_init if self.state == self.NOT_INITIALIZED
+                  else self.extract)
+            fd = ex(jnp.asarray(images))
             frame = self._pull(fd, timestamp)
         self.frame_id += 1
 
@@ -180,7 +191,8 @@ class Tracker:
             angle=np.asarray(fd.feats.angle), desc=np.asarray(fd.feats.desc),
             valid=np.asarray(fd.feats.valid), words=np.asarray(fd.words),
             nodes=np.asarray(fd.nodes),
-            mp_ids=np.full(fd.feats.valid.shape, -1, np.int64))
+            mp_ids=np.full(fd.feats.valid.shape, -1, np.int64),
+            response=np.asarray(fd.feats.response))
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -244,11 +256,19 @@ class Tracker:
         T21[:3, 3] /= med
 
         m = self.map
-        kf0 = self._make_keyframe(f0, np.eye(4, dtype=np.float64))
-        kf1 = self._make_keyframe(f1, T21.astype(np.float64))
+        # init frames carry the 2x n_init budget (Tracking.cc:204-207);
+        # down-select to the uniform n_track KeyFrame shape, keeping every
+        # triangulated row (the rest of the pipeline compiles against one
+        # keyframe feature count)
+        f0s, map0 = self._shrink_frame(f0)
+        f1s, map1 = self._shrink_frame(f1)
+        kf0 = self._make_keyframe(f0s, np.eye(4, dtype=np.float64))
+        kf1 = self._make_keyframe(f1s, T21.astype(np.float64))
         for i in np.nonzero(inl)[0]:
-            r0 = int(rows0[i])
-            r1 = int(rows1[i])
+            r0 = int(map0[rows0[i]])
+            r1 = int(map1[rows1[i]])
+            if r0 < 0 or r1 < 0:    # dropped by the n_track down-select
+                continue
             mp = m.new_point(pts[i], kf1.kid, 0)
             m.add_observation(mp, kf0, r0, 0)
             m.add_observation(mp, kf1, r1, 0)
@@ -273,7 +293,9 @@ class Tracker:
                                    self.scale_factors)
 
         f1.T_cw = kf1.T_cw.copy()
-        f1.mp_ids[0][rows1[inl]] = [kf1.mp_idx[int(r)] for r in rows1[inl]]
+        f1.mp_ids[0][rows1[inl]] = [
+            kf1.mp_idx[int(map1[int(r)])] if map1[int(r)] >= 0 else -1
+            for r in rows1[inl]]
         self.ref_kid = kf1.kid
         self.last_kf_frame_id = f1.frame_id
         self.velocity = None
@@ -287,6 +309,39 @@ class Tracker:
             self._kfdb_add(kf0)
             self._kfdb_add(kf1)
         self.init_frame = None
+
+    def _shrink_frame(self, frame: HostFrame):
+        """Down-select an n_init-sized init frame to the uniform n_track
+        shape by descending FAST response — the 2x budget's extra (weaker)
+        corners strengthen the two-view RANSAC geometry but would degrade
+        the persistent map if triangulated (measured: mono ATE 0.25 ->
+        0.57 when weak matched corners are kept).  Returns (shrunk
+        HostFrame, row_map [n] old->new or -1)."""
+        n_out = self.cfg.orb.n_track
+        ncam, n = frame.valid.shape
+        if n <= n_out:
+            return frame, np.arange(n)
+        resp = (frame.response if frame.response is not None
+                else np.zeros((ncam, n), np.float32))
+        sels = []
+        row_map = np.full(n, -1, np.int64)
+        for c in range(ncam):
+            key = np.where(frame.valid[c], resp[c], -np.inf)
+            sel = np.argsort(-key, kind="stable")[:n_out]
+            sels.append(sel)
+            if c == 0:
+                row_map[sel] = np.arange(len(sel))
+        sels = np.stack(sels)                                   # [ncam, n_out]
+        gather = lambda a: np.stack([a[c][sels[c]] for c in range(ncam)])
+        out = HostFrame(
+            frame_id=frame.frame_id, timestamp=frame.timestamp,
+            uv=gather(frame.uv), level=gather(frame.level),
+            angle=gather(frame.angle), desc=gather(frame.desc),
+            valid=gather(frame.valid), words=gather(frame.words),
+            nodes=gather(frame.nodes), T_cw=frame.T_cw,
+            mp_ids=np.full((ncam, n_out), -1, np.int64),
+            response=gather(resp))
+        return out, row_map
 
     def _global_ba_two(self, kf0: KeyFrame, kf1: KeyFrame, iters: int):
         from orbslam2_dualcam_tpu.pipeline import ba_pack
@@ -317,40 +372,82 @@ class Tracker:
         r1 = self._match_stage(frame, T_pred, mids1, radius=15.0,
                                max_hamming=float(cfg.matcher.th_high))
         n1 = int(r1.n_inliers) if r1 is not None else 0
-        if n1 < cfg.tracker.min_matches_motion:
-            r1 = self._match_stage(frame, T_pred, mids1, radius=30.0,
-                                   max_hamming=float(cfg.matcher.th_high))
-            n1 = int(r1.n_inliers) if r1 is not None else 0
         slot_mids_r1 = self._last_slot_mids
+        if n1 < cfg.tracker.min_matches_motion:
+            # widened retry — but keep whichever result is BETTER: a wider
+            # window on ambiguous texture can harvest aliased matches that
+            # diverge the pose opt, so the retry must never clobber an
+            # acceptable narrow-window result (measured on the orbit
+            # fixture: 15 inliers @15px vs 13 @30px at the same frame)
+            r1b = self._match_stage(frame, T_pred, mids1, radius=30.0,
+                                    max_hamming=float(cfg.matcher.th_high))
+            n1b = int(r1b.n_inliers) if r1b is not None else 0
+            if n1b > n1:
+                r1, n1 = r1b, n1b
+                slot_mids_r1 = self._last_slot_mids
         if r1 is not None and n1 >= cfg.tracker.min_matches_motion:
             T_cur = np.asarray(r1.T_cw)
-            frame_mp = self._slots_to_mids(r1)
+            frame_mp = self._slots_to_mids(r1, slot_mids=slot_mids_r1)
         else:
-            # fallback: reference-KF points with NO spatial window — the
-            # role of TrackReferenceKeyFrame's SearchByBoW
-            # (Tracking.cc:1295-1369, ORBmatcher.cc:50-145), which matches
-            # purely by descriptor so it survives motion-model breakdown
-            # (e.g. an abrupt turn whose optical flow exceeds any fixed
-            # window).  The strict th_low + ratio test replaces the BoW
-            # node restriction; pose opt rejects the residual outliers.
+            # fallback cascade, mirroring the reference's
+            # TrackWithMotionModel -> TrackReferenceKeyFrame order
+            # (Tracking.cc:347-361).  (a) reference-KF points in a wide
+            # window from the LAST pose (survives a broken velocity
+            # model); (b) the same points with NO spatial window at
+            # strict th_low — the role of SearchByBoW
+            # (ORBmatcher.cc:50-145), which matches purely by descriptor
+            # so it survives abrupt turns whose optical flow exceeds any
+            # fixed window; (c) a thin-but-usable motion-model result
+            # (the reference accepts >=10 map matches, Tracking.cc:1451).
             ref = self.map.keyframes.get(self.ref_kid)
             mids2 = (np.unique(ref.mp_idx[ref.mp_idx >= 0])
                      if ref is not None else np.empty(0, np.int64))
-            r2 = self._match_stage(frame, last.T_cw, mids2, radius=1e5,
-                                   max_hamming=float(cfg.matcher.th_low))
-            if r2 is not None and (int(r2.n_inliers)
-                                   >= cfg.tracker.min_matches_track):
-                T_cur = np.asarray(r2.T_cw)
-                frame_mp = self._slots_to_mids(r2)
-            elif r1 is not None and n1 >= cfg.tracker.min_matches_track:
-                # the motion-model result was thin but usable — the
-                # reference accepts TrackWithMotionModel at >=10 map
-                # matches (Tracking.cc:1451 "return nmatchesMap>=10");
-                # stage 2 then re-anchors against the full local map
-                T_cur = np.asarray(r1.T_cw)
-                frame_mp = self._slots_to_mids(r1, slot_mids=slot_mids_r1)
-            else:
-                return False
+            # evaluate the fallbacks and keep the highest-consensus pose:
+            # the windowed variant wins when descriptors alias across the
+            # scene (ratio test starves the windowless match), the
+            # windowless one wins when the true flow exceeds any window
+            # (abrupt turn).  Both are seeded from the velocity-predicted
+            # pose AND the last pose — during a sustained turn the
+            # prediction keeps the frustum gate aligned with the view
+            # while the last pose lags a full rotation step.
+            # First-success ordering betrays one fixture or the other;
+            # inlier count is the arbiter the reference's sequential
+            # cascade approximates (Tracking.cc:347-361).
+            attempts = [(T_pred, mids2, 30.0, float(cfg.matcher.th_high)),
+                        (last.T_cw, mids2, 30.0, float(cfg.matcher.th_high)),
+                        (T_pred, mids2, 1e5, float(cfg.matcher.th_low)),
+                        (last.T_cw, mids2, 1e5, float(cfg.matcher.th_low))]
+            T_cur = None
+            best_n = 0
+            for T_seed, mids_a, radius, ham in attempts:
+                r2 = self._match_stage(frame, T_seed, mids_a,
+                                       radius=radius, max_hamming=ham)
+                n2 = int(r2.n_inliers) if r2 is not None else 0
+                if n2 >= cfg.tracker.min_matches_track and n2 > best_n:
+                    best_n = n2
+                    T_cur = np.asarray(r2.T_cw)
+                    frame_mp = self._slots_to_mids(r2)
+            if T_cur is None and ref is not None:
+                # last resort before LOST: the whole covisibility region
+                # of the reference KF in a wide window from the predicted
+                # pose — covers map starvation where last frame's tracked
+                # set has shrunk to a sliver but the region still holds
+                # points (the role of the reloc projection-widening,
+                # Tracking.cc:1180-1250, without the vocabulary)
+                mids3 = self._region_points(self.ref_kid)
+                r3w = self._match_stage(frame, T_pred, mids3, radius=60.0,
+                                        max_hamming=float(
+                                            cfg.matcher.th_high))
+                if r3w is not None and (int(r3w.n_inliers)
+                                        >= cfg.tracker.min_matches_track):
+                    T_cur = np.asarray(r3w.T_cw)
+                    frame_mp = self._slots_to_mids(r3w)
+            if T_cur is None:
+                if r1 is not None and n1 >= cfg.tracker.min_matches_track:
+                    T_cur = np.asarray(r1.T_cw)
+                    frame_mp = self._slots_to_mids(r1, slot_mids=slot_mids_r1)
+                else:
+                    return False
 
         # stage 2: track local map (Tracking.cc:1478-1520); widen the
         # window when tracking is thin (the reference widens th after
@@ -370,6 +467,12 @@ class Tracker:
         n_final = int((frame.mp_ids >= 0).sum())
         self.n_track_inliers = n_final
         if n_final < cfg.tracker.min_matches_track:
+            # failed mid-way: drop the partially-assigned pose so the LOST
+            # frame never records a garbage trajectory entry (the
+            # reference only stores poses for tracked frames,
+            # System.cc:340-370)
+            frame.T_cw = None
+            frame.mp_ids = np.full_like(frame.mp_ids, -1)
             return False
 
         # bookkeeping: found/visible counters.  The reference increments
@@ -536,6 +639,18 @@ class Tracker:
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: HostFrame) -> bool:
         cfg = self.cfg
+        # hard keyframe capacity (CapacityConfig.max_keyframes): at the
+        # cap, EVICT the keyframe least covisible with the current view
+        # (map forgetting — the fixed-capacity ring behavior of a device
+        # store) so the local map around the camera survives; redundancy
+        # culling (LocalMapping KeyFrameCulling) frees slots first when
+        # it can.  Never silent: each eviction logs an event.
+        if self.map.n_keyframes >= cfg.capacity.max_keyframes:
+            if not self._evict_for_capacity(frame):
+                if not self.events or not self.events[-1].startswith("KFCAP"):
+                    self.events.append(
+                        f"KFCAP@{frame.frame_id} n={self.map.n_keyframes}")
+                return False
         ref = self.map.keyframes.get(self.ref_kid)
         if ref is None:
             return False
@@ -556,6 +671,32 @@ class Tracker:
         c2 = (self.n_track_inliers < cfg.tracker.kf_ref_ratio * max(n_ref, 1)
               and self.n_track_inliers > cfg.tracker.min_matches_track)
         return bool((c1 or c1b) and c2)
+
+    def _evict_for_capacity(self, frame: HostFrame) -> bool:
+        """Erase the keyframe least relevant to the current view so a new
+        one can be inserted at capacity.  Victim = lowest covisibility
+        weight with the reference KF (0 if disconnected), oldest first on
+        ties; gauge/bootstrap-critical and recent KFs are protected."""
+        m = self.map
+        ref = m.keyframes.get(self.ref_kid)
+        ref_w = dict(ref.covis) if ref is not None else {}
+        recent = set(sorted(m.keyframes.keys())[-5:])
+        best, best_key = None, None
+        for kid, kf in m.keyframes.items():
+            if (kid == m.origin_kid or kid == m.first_scale_kid or
+                    kid == self.ref_kid or kid in recent or
+                    kf.not_erase or kf.connected_to_second_map):
+                continue
+            key = (ref_w.get(kid, 0), kid)
+            if best_key is None or key < best_key:
+                best, best_key = kf, key
+        if best is None:
+            return False
+        m.erase_keyframe(best)
+        self.events.append(
+            f"KFEVICT@{frame.frame_id} kid={best.kid} "
+            f"w={best_key[0]} n={m.n_keyframes}")
+        return True
 
     def _make_keyframe(self, frame: HostFrame, T_cw: np.ndarray) -> KeyFrame:
         """Flatten per-camera features into the global concatenated layout
@@ -647,9 +788,7 @@ class Tracker:
         for c in range(ncam):
             words = kf.word[c * N:(c + 1) * N]
             vvalid = kf.kp_valid[c * N:(c + 1) * N]
-            vec = np.asarray(bow.bow_vector(
-                self.voc, jnp.asarray(np.where(vvalid, words, 0)),
-                jnp.asarray(vvalid & (words >= 0))))
+            vec = bow.sparse_bow(self.voc, words, vvalid)
             self.kfdb.add(kf.kid, c, words[vvalid & (words >= 0)], vec)
 
     # ------------------------------------------------------------------
@@ -666,9 +805,7 @@ class Tracker:
         vvalid = frame.valid[query_cam] & (words >= 0)
         if vvalid.sum() < 30:
             return False
-        vec = np.asarray(bow.bow_vector(
-            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
-            jnp.asarray(vvalid)))
+        vec = bow.sparse_bow(self.voc, words, vvalid)
         cands = self.kfdb.detect_reloc_candidates(
             np.where(vvalid, words, -1), vec, query_cam, 0, self.map)
         self.events.append(f"XTRY@{frame.frame_id} cands={cands[:4]}")
@@ -723,11 +860,6 @@ class Tracker:
                 pairs.append((int(rf), mid))
             if len(X) < 8:
                 continue
-            T_1w, inl, cnt, ok = ransac.pnp_ransac(
-                self._next_key(),
-                jnp.asarray(np.asarray(X, np.float32)),
-                jnp.asarray(np.asarray(uv, np.float32)),
-                jnp.ones(len(X), bool), self.rig.K[query_cam])
             # adaptive accept: rich seeds keep the reference's absolute bar
             # (>=20 of >=15, Tracking.cc:865); thin seeds (wide-yaw rigs
             # where cross-view ORB matching is sparse) are allowed through
@@ -735,6 +867,12 @@ class Tracker:
             # refine + rotation-consistency gates below re-verify the pose
             # against the whole reloc'd region before anything is accepted
             min_inl = min(20, max(8, int(round(0.6 * len(X)))))
+            T_1w, inl, cnt, ok = ransac.pnp_ransac(
+                self._next_key(),
+                jnp.asarray(np.asarray(X, np.float32)),
+                jnp.asarray(np.asarray(uv, np.float32)),
+                jnp.ones(len(X), bool), self.rig.K[query_cam],
+                min_inliers=min_inl)
             if not bool(ok) or int(cnt) < min_inl:
                 self.events.append(
                     f"XPNP@{frame.frame_id} kf={kid} n={len(X)} "
@@ -1215,9 +1353,7 @@ class Tracker:
 
         words = frame.words[0]
         vvalid = frame.valid[0] & (words >= 0)
-        vec = np.asarray(bow.bow_vector(
-            self.voc, jnp.asarray(np.where(vvalid, words, 0)),
-            jnp.asarray(vvalid)))
+        vec = bow.sparse_bow(self.voc, words, vvalid)
         cands = self.kfdb.detect_reloc_candidates(
             np.where(vvalid, words, -1), vec, 0, 0, self.map)
         for kid in cands[:5]:

@@ -6,13 +6,13 @@ writes trajectories/map artifacts.
 
 Usage:
   python -m orbslam2_dualcam_tpu.run --settings Dual-LenaCV.yaml \
-      --video indoor_lab_loop.avi [--vocab voc.npz] [--out out_dir] \
-      [--max-frames N] [--mono]
+      --video indoor_lab_loop.avi [--vocab ORBvoc.bin|.txt|.npz] \
+      [--out out_dir] [--max-frames N] [--mono]
 
 The reference's positional CLI was `dual_slam_video voc.bin settings.yaml
-video.avi` (dual_slam_video.cpp:45-52); vocabulary here is our .npz format
-(train one with vocab.bow.train_vocabulary — the reference's binary DBoW2
-vocabulary is a distinct artifact we do not ship)."""
+video.avi` (dual_slam_video.cpp:45-52); --vocab accepts the reference's
+DBoW2 ORBvoc artifact directly (binary or text, vocab/orbvoc.py) as well
+as our .npz format (train one with vocab.bow.train_vocabulary)."""
 
 from __future__ import annotations
 
@@ -26,7 +26,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--settings", required=True, help="rig YAML (reference format)")
     ap.add_argument("--video", required=True, help="joint side-by-side video")
-    ap.add_argument("--vocab", default=None, help=".npz vocabulary (optional)")
+    ap.add_argument("--vocab", default=None,
+                    help="vocabulary: .npz (ours) or the reference's DBoW2 "
+                         "ORBvoc .bin/.txt (System.cc:88-102 loads both)")
     ap.add_argument("--out", default="slam_out", help="output directory")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--mono", action="store_true",
@@ -49,7 +51,13 @@ def main(argv=None) -> int:
     from orbslam2_dualcam_tpu.vocab import bow
 
     cfg = load_rig_yaml(args.settings)
-    voc = bow.load_vocabulary(args.vocab) if args.vocab else None
+    voc = None
+    if args.vocab:
+        if args.vocab.endswith(".npz"):
+            voc = bow.load_vocabulary(args.vocab)
+        else:  # the reference's DBoW2 artifact (.bin/.txt)
+            from orbslam2_dualcam_tpu.vocab.orbvoc import load_orbvoc
+            voc = load_orbvoc(args.vocab)
     sys_ = System(cfg, voc=voc, enable_loop_closing=not args.no_loop)
 
     cap = cv2.VideoCapture(args.video)

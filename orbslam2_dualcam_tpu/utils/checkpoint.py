@@ -129,7 +129,5 @@ def rebuild_kfdb(m: Map, kfdb: KeyFrameDatabase, voc, n_cameras: int) -> None:
         for c in range(n_cameras):
             words = kf.word[c * N:(c + 1) * N]
             vvalid = kf.kp_valid[c * N:(c + 1) * N] & (words >= 0)
-            vec = np.asarray(bow.bow_vector(
-                voc, jnp.asarray(np.where(vvalid, words, 0)),
-                jnp.asarray(vvalid)))
+            vec = bow.sparse_bow(voc, words, vvalid)
             kfdb.add(kid, c, words[vvalid], vec)

@@ -286,3 +286,37 @@ def planar_photo_sequence(poses: List[np.ndarray], K: np.ndarray,
         if noise > 0:
             img = img + rng.normal(0.0, noise, img.shape)
         yield np.clip(img, 0, 255).astype(np.float32), T_cw
+
+
+def _render_photo_frame(planes: List[_Plane], K: np.ndarray,
+                        T_cw: np.ndarray, H: int, W: int) -> np.ndarray:
+    img = np.zeros((H, W), np.float32)
+    depth = np.full((H, W), np.inf)
+    for pl in planes:
+        im, d = _render_plane(pl, K, T_cw, H, W)
+        closer = d < depth
+        img = np.where(closer, im, img)
+        depth = np.where(closer, d, depth)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def planar_photo_rig_sequence(poses: List[np.ndarray], rig_K: np.ndarray,
+                              rig_T_sc: np.ndarray, H: int = 240,
+                              W: int = 320,
+                              planes: Optional[List[_Plane]] = None,
+                              photo: str = DEFAULT_PHOTO, seed: int = 0):
+    """Dual(N)-camera version of `planar_photo_sequence`: yields
+    (images [ncam, H, W], T_cw) with camera c rendered at T_sc[c] @ T_cw —
+    the real-texture analog of synthetic.render_rig, and this repo's
+    equivalent of the reference's dual indoor_lab_loop.avi input
+    (Examples/Dual/dual_slam_video.cpp:68-86 splits one wide frame into
+    the two rig views)."""
+    if planes is None:
+        planes = photo_room_planes(photo, seed=seed)
+    ncam = len(rig_K)
+    for T_cw in poses:
+        ims = np.stack([
+            _render_photo_frame(planes, np.asarray(rig_K[c]),
+                                np.asarray(rig_T_sc[c]) @ T_cw, H, W)
+            for c in range(ncam)])
+        yield ims, T_cw

@@ -218,7 +218,10 @@ class BowVector(NamedTuple):
 
 
 def bow_vector(voc: Vocabulary, words: jax.Array, valid: jax.Array) -> jax.Array:
-    """tf-idf L1-normalized dense BoW vector [n_words]."""
+    """tf-idf L1-normalized dense BoW vector [n_words].
+
+    Dense form — fine for toy/test vocabularies; production code paths use
+    `sparse_bow` (an ORBvoc-scale tree has 1e6 words = 4 MB/vector)."""
     w = jnp.zeros(voc.n_words, jnp.float32).at[words].add(
         jnp.where(valid, 1.0, 0.0))
     w = w * voc.idf
@@ -231,3 +234,67 @@ def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
     s = 2 * sum_i (|v1|+|v2|-|v1-v2|) / 2 ... standard form below, in [0,1].
     Accepts [n_words] or batched [..., n_words]."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# sparse BoW vectors (DBoW2 BowVector semantics, TemplatedVocabulary.h:679-720)
+# ---------------------------------------------------------------------------
+
+class SparseBow(NamedTuple):
+    """L1-normalized tf-idf document vector in sparse (word -> weight) form,
+    the exact representation DBoW2's BowVector uses (a sorted word->value
+    map).  At ORBvoc scale (1e6 words) a dense vector is 4 MB; a frame's
+    sparse vector is <=n_features entries (~10 KB)."""
+
+    words: np.ndarray     # [m] int32, sorted unique word ids
+    weights: np.ndarray   # [m] float32, L1-normalized
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.words.nbytes + self.weights.nbytes)
+
+
+_idf_np_cache: dict = {}
+
+
+def _idf_np(voc: Vocabulary) -> np.ndarray:
+    """Host copy of the idf table, cached per vocabulary (zero-copy on the
+    CPU backend; one transfer ever on TPU)."""
+    key = id(voc.idf)
+    hit = _idf_np_cache.get(key)
+    if hit is None:
+        _idf_np_cache.clear()     # at most one vocabulary live per system
+        hit = _idf_np_cache[key] = np.asarray(voc.idf)
+    return hit
+
+
+def sparse_bow(voc: Vocabulary, words: np.ndarray,
+               valid: np.ndarray) -> SparseBow:
+    """Host-side sparse tf-idf vector from per-feature word ids
+    (TemplatedVocabulary::transform -> BowVector::addWeight semantics)."""
+    w = np.asarray(words)[np.asarray(valid) & (np.asarray(words) >= 0)]
+    if len(w) == 0:
+        return SparseBow(np.empty(0, np.int32), np.empty(0, np.float32))
+    uw, cnt = np.unique(w, return_counts=True)
+    wt = cnt.astype(np.float64) * _idf_np(voc)[uw]
+    s = wt.sum()
+    if s > 0:
+        wt = wt / s
+    keep = wt > 0
+    return SparseBow(uw[keep].astype(np.int32), wt[keep].astype(np.float32))
+
+
+def score_sparse(a: SparseBow, b: SparseBow) -> float:
+    """L1 score between two L1-normalized sparse vectors.
+
+    For nonnegative L1-normalized vectors,
+    1 - 0.5*sum|v1-v2| = sum over common words of min(a_i, b_i) — only the
+    intersection matters, which is what makes DBoW2's inverted-file scoring
+    cheap (ScoringObject.h:76 evaluated over shared words only)."""
+    if len(a.words) == 0 or len(b.words) == 0:
+        return 0.0
+    _, ia, ib = np.intersect1d(a.words, b.words, assume_unique=True,
+                               return_indices=True)
+    if len(ia) == 0:
+        return 0.0
+    return float(np.minimum(a.weights[ia], b.weights[ib]).sum())

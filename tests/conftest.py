@@ -17,11 +17,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite's wall-clock is dominated by XLA
-# compiles of the same fixed-shape programs on every run
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# compiles of the same fixed-shape programs on every run.  Machine-keyed:
+# XLA:CPU AOT executables embed the compile host's CPU features, and
+# loading one on a different microarch risks SIGILL.
+from orbslam2_dualcam_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -76,8 +76,7 @@ def test_kfdb_cross_camera_query(rng):
 
     def add_kf(kid, words_by_cam):
         for cam, wd in enumerate(words_by_cam):
-            vec = np.asarray(bow.bow_vector(voc, jnp.asarray(wd),
-                                            jnp.ones(len(wd), bool)))
+            vec = bow.sparse_bow(voc, wd, np.ones(len(wd), bool))
             db.add(kid, cam, wd, vec)
 
     base = rand_desc(rng, 150)
@@ -94,11 +93,64 @@ def test_kfdb_cross_camera_query(rng):
     q = flip(rng, base, 6)
     wq, _ = bow.quantize(voc, jnp.asarray(q))
     wq = np.asarray(wq)
-    vec = np.asarray(bow.bow_vector(voc, jnp.asarray(wq),
-                                    jnp.ones(len(wq), bool)))
+    vec = bow.sparse_bow(voc, wq, np.ones(len(wq), bool))
     cands = db.detect_reloc_candidates(wq, vec, query_cam=0, resp_cam=1, mp=m)
     assert cands and cands[0] == 0, cands
     # erase removes it
     db.erase(0)
     cands2 = db.detect_reloc_candidates(wq, vec, 0, 1, m)
     assert 0 not in cands2
+
+
+def test_sparse_bow_matches_dense(rng):
+    """score_sparse == score_l1 on L1-normalized vectors (the sum-of-min
+    identity over the word intersection)."""
+    train = rand_desc(rng, 1500)
+    voc = bow.train_vocabulary(train, branching=4, depth=3, seed=2)
+    for _ in range(5):
+        a = rand_desc(rng, 120)
+        b = rand_desc(rng, 120)
+        wa = np.asarray(bow.quantize(voc, jnp.asarray(a))[0])
+        wb = np.asarray(bow.quantize(voc, jnp.asarray(b))[0])
+        va = bow.bow_vector(voc, jnp.asarray(wa), jnp.ones(120, bool))
+        vb = bow.bow_vector(voc, jnp.asarray(wb), jnp.ones(120, bool))
+        dense = float(bow.score_l1(va, vb))
+        sa = bow.sparse_bow(voc, wa, np.ones(120, bool))
+        sb = bow.sparse_bow(voc, wb, np.ones(120, bool))
+        assert abs(bow.score_sparse(sa, sb) - dense) < 1e-5
+        assert abs(bow.score_sparse(sa, sa) - 1.0) < 1e-5
+
+
+def test_kfdb_orbvoc_scale(rng):
+    """500-KF database at the ORBvoc word count (1e6): BoW storage well
+    under 100 MB and queries under 5 ms (VERDICT r2 gate; the reference
+    runs DBoW2 BowVectors at exactly this scale,
+    TemplatedVocabulary.h:679-720)."""
+    import time
+
+    n_words = 1_000_000
+    db = KeyFrameDatabase(n_cameras=1, n_words=n_words)
+    m = Map()
+    idf = np.abs(rng.standard_normal(n_words)).astype(np.float32) + 0.1
+
+    def make_vec(words):
+        uw, cnt = np.unique(words, return_counts=True)
+        wt = cnt * idf[uw]
+        wt = (wt / wt.sum()).astype(np.float32)
+        return bow.SparseBow(uw.astype(np.int32), wt)
+
+    n_kf, n_feat = 500, 1300
+    for kid in range(n_kf):
+        words = rng.integers(0, n_words, n_feat).astype(np.int32)
+        db.add(kid, 0, words, make_vec(words))
+    assert db.nbytes_bow < 100 * 2 ** 20, db.nbytes_bow
+
+    q = rng.integers(0, n_words, n_feat).astype(np.int32)
+    vq = make_vec(q)
+    db.detect_reloc_candidates(q, vq, 0, 0, m)        # warm
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        db.detect_reloc_candidates(q, vq, 0, 0, m)
+    dt = (time.perf_counter() - t0) / reps
+    assert dt < 5e-3, f"query {dt*1e3:.2f} ms"

@@ -73,6 +73,9 @@ def test_loop_closes(loop_run):
 
 def test_ate_after_loop(loop_run):
     sys_, poses, states = loop_run
+    # the ATE gate must actually require the capability it names: a
+    # loop-free run can drift under the threshold on a short circuit
+    assert sys_.loop_closer.n_loops_closed >= 1, sys_.tracker.events
     traj = sys_.tracker.composed_trajectory()
     est = metrics.trajectory_positions(traj)
     fids = [t[0] for t in traj]

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from orbslam2_dualcam_tpu.models.kfdb import KeyFrameDatabase
+from orbslam2_dualcam_tpu.vocab.bow import SparseBow
 
 try:
     from orbslam2_dualcam_tpu.native.invfile import NativeInvertedFile
@@ -24,8 +25,9 @@ def test_native_matches_python(rng):
     for kid in range(20):
         for cam in range(2):
             words = rng.integers(-1, n_words, size=120).astype(np.int32)
-            vec = np.zeros(n_words, np.float32)
-            vec[words[words >= 0]] = 1.0
+            uw = np.unique(words[words >= 0]).astype(np.int32)
+            vec = SparseBow(uw, np.full(len(uw), 1.0 / max(len(uw), 1),
+                                        np.float32))
             word_sets[(kid, cam)] = words
             for db in dbs:
                 db.add(kid, cam, words, vec)
