@@ -38,7 +38,11 @@ from orbslam2_dualcam_tpu.vocab import bow  # noqa: E402
 
 def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
         verbose: bool = True, seed: int = 3):
-    yaw = np.deg2rad(yaw_deg)
+    """yaw_deg > 0: cam1 TRAILS the orbit sweep (sees regions cam0 mapped
+    ~yaw/step frames earlier — the regime the reference's cross-camera
+    reloc operates in); yaw_deg < 0: cam1 leads (nothing mapped in its
+    view until the lap closes — scale unobservable by construction)."""
+    yaw = np.deg2rad(-yaw_deg)
     q = (np.cos(-yaw / 2), 0.0, np.sin(-yaw / 2), 0.0)
     cam0 = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160,
                         cy=120)
@@ -48,7 +52,7 @@ def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
         cameras=(cam0, cam1),
         orb=OrbConfig(n_features=400, n_levels=4),
         mapping=MappingConfig(cull_found_ratio=0.1),
-        vocab=VocabConfig(branching=8, depth=3),
+        vocab=VocabConfig(branching=8, depth=4),
         tracker=TrackerConfig(reloc_gap_try=4, reloc_gap_fail=4,
                               num_frame_in_secondmap=3),
         capacity=CapacityConfig(max_local_mp=2048),
@@ -65,7 +69,7 @@ def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
                                                  W=320, planes=planes):
         f = orb.extract_orb(jnp.asarray(img), cfg.orb, 400)
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = bow.train_vocabulary(np.concatenate(descs), branching=8, depth=3,
+    voc = bow.train_vocabulary(np.concatenate(descs), branching=8, depth=4,
                                seed=9, weight_docs=descs)
 
     sys_ = System(cfg, voc=voc, enable_loop_closing=False)

@@ -860,19 +860,22 @@ class Tracker:
                 pairs.append((int(rf), mid))
             if len(X) < 8:
                 continue
-            # adaptive accept: rich seeds keep the reference's absolute bar
-            # (>=20 of >=15, Tracking.cc:865); thin seeds (wide-yaw rigs
-            # where cross-view ORB matching is sparse) are allowed through
-            # on a HIGH inlier fraction instead, because the projection
-            # refine + rotation-consistency gates below re-verify the pose
-            # against the whole reloc'd region before anything is accepted
-            min_inl = min(20, max(8, int(round(0.6 * len(X)))))
+            # adaptive accept: thin seeds (wide-yaw rigs where cross-view
+            # ORB matching is sparse — BRIEF degrades steeply with
+            # viewpoint change) pass on a moderate inlier FRACTION rather
+            # than the reference's absolute >=20 bar (Tracking.cc:865),
+            # because the projection refine + rotation-consistency gates
+            # below re-verify the pose against the whole reloc'd region
+            # before anything is accepted.  Measured on the 69-deg
+            # real-texture rig: genuine cross-view seeds run ~45 %
+            # inliers (17/38), which the old 0.6 fraction rejected.
+            min_inl = min(18, max(8, int(round(0.45 * len(X)))))
             T_1w, inl, cnt, ok = ransac.pnp_ransac(
                 self._next_key(),
                 jnp.asarray(np.asarray(X, np.float32)),
                 jnp.asarray(np.asarray(uv, np.float32)),
                 jnp.ones(len(X), bool), self.rig.K[query_cam],
-                min_inliers=min_inl)
+                n_hyp=512, min_inliers=min_inl)
             if not bool(ok) or int(cnt) < min_inl:
                 self.events.append(
                     f"XPNP@{frame.frame_id} kf={kid} n={len(X)} "
