@@ -121,6 +121,21 @@ def main() -> None:
     t2, _ = chain(n2)
     dt = max((t2 - t1) / (n2 - n1), 1e-6)
 
+    # single dispatch+readback round trip: the per-call cost every
+    # host-synchronous step pays through the remote tunnel (locally
+    # attached chips pay ~0.1 ms).  The end-to-end System.track number
+    # below is ~n_dispatches x this RTT; the chained number above is
+    # what the same work costs once state stays device-resident.
+    rtts = []
+    one = jnp.ones(())
+    add = jax.jit(lambda x: x + 1)
+    float(add(one))                        # warm
+    for _ in range(10):
+        t0 = time.time()
+        float(add(one))
+        rtts.append(time.time() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+
     fps = 1.0 / dt
 
     # ---- end-to-end System.track (live map, KF policy, vocabulary
@@ -143,6 +158,7 @@ def main() -> None:
                 "extract+match+poseopt+motion-model, chained-frame timing)",
         "vs_baseline": round(fps / 30.0, 3),
     }
+    result["dispatch_rtt_ms"] = round(rtt_ms, 2)
     if e2e is not None:
         result.update(e2e)
     print(json.dumps(result))

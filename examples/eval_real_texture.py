@@ -71,9 +71,13 @@ def main() -> None:
         # Room half=3.0 keeps wall distance in the 1.5-5m band the orbit's
         # tangential view can triangulate (the default 6m room puts the
         # far wall 8.4m away and tracking starves mid-circle)
+        # 2.6pi: the revisit begins at ~77 % of the sequence (frame 104
+        # of 135), leaving a realistic post-closure stretch in which the
+        # tracker re-tracks through the corrected map and further loop
+        # edges consolidate (indoor_lab_loop.avi-style overlap)
         loop_planes = datasets.photo_room_planes(half=3.0, height=1.8)
-        loop_poses = synthetic.orbit_trajectory(120, radius=1.5,
-                                                total_angle=2.25 * np.pi)
+        loop_poses = synthetic.orbit_trajectory(135, radius=1.5,
+                                                total_angle=2.6 * np.pi)
         # vocabulary trained from a sparse subsample of the sequence itself
         # (stand-in for the reference's offline-trained ORBvoc)
         descs = []

@@ -146,6 +146,25 @@ class LoopCloser:
                 ratio=self.cfg.matcher.nn_ratio_bow)
             idx = np.asarray(res.idx)
             rows = np.nonzero(idx >= 0)[0]
+            if len(rows) < 2 * self.cfg.loop.min_sim3_inliers:
+                # descriptor-only retry: with a coarse trained vocabulary
+                # the FeatureVector node mask drops true pairs the
+                # reference's 1e6-word ORBvoc would keep — the mutual +
+                # ratio tests carry the rejection instead (the same
+                # fallback the cross-camera reloc uses)
+                res2 = matching.match_masked(
+                    jnp.asarray(kf.desc[:N].astype(np.uint32)),
+                    jnp.asarray(lkf.desc[:N].astype(np.uint32)),
+                    valid_a=jnp.asarray(kf.kp_valid[:N] &
+                                        (kf.mp_idx[:N] >= 0)),
+                    valid_b=jnp.asarray(lkf.kp_valid[:N] &
+                                        (lkf.mp_idx[:N] >= 0)),
+                    max_dist=float(self.cfg.matcher.th_low),
+                    ratio=self.cfg.matcher.nn_ratio_bow)
+                idx2 = np.asarray(res2.idx)
+                rows2 = np.nonzero(idx2 >= 0)[0]
+                if len(rows2) > len(rows):
+                    idx, rows = idx2, rows2
             self.debug_log.append(
                 f"sim3 kid={kf.kid} cand={kid} bow={len(rows)}")
             if len(rows) < self.cfg.loop.min_bow_matches:
