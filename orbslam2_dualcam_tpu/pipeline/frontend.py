@@ -32,34 +32,129 @@ class FrameData(NamedTuple):
     nodes: jax.Array      # [ncam, N] direct-index node ids (or -1)
 
 
-def make_extract_fn(cfg: SystemConfig, n_feats: int,
-                    voc: Optional[bow.Vocabulary], rig: CameraRig):
-    """Build the jitted per-frame extraction program (closure keeps the
-    vocabulary's static tree parameters out of the trace).
+def _extract_frame_body(images: jax.Array, cfg: SystemConfig, n_feats: int,
+                        voc: Optional[bow.Vocabulary],
+                        rig: CameraRig) -> FrameData:
+    """Traced extraction body shared by make_extract_fn and the fused
+    per-frame track program (make_track_fn).
 
     Keypoints are undistorted here, once, exactly as
     Frame::UndistortKeyPoints does per camera (Frame.cc:410-442)."""
+    feats = orb.extract_orb_rig(images, cfg.orb, n_feats)
+
+    def undist(c_feats, K, K_inv, dist):
+        uv = camera.undistort_pixels(c_feats.uv, K, K_inv, dist)
+        return c_feats._replace(uv=uv, uv_raw=c_feats.uv)
+
+    feats = jax.vmap(undist)(feats, rig.K, rig.K_inv, rig.dist)
+    if voc is not None:
+        def quant(d, v):
+            w, n = bow.quantize(voc, d)
+            return (jnp.where(v, w, -1), jnp.where(v, n, -1))
+        words, nodes = jax.vmap(quant)(feats.desc, feats.valid)
+    else:
+        words = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
+        nodes = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
+    return FrameData(feats=feats, words=words, nodes=nodes)
+
+
+def make_extract_fn(cfg: SystemConfig, n_feats: int,
+                    voc: Optional[bow.Vocabulary], rig: CameraRig):
+    """Build the jitted per-frame extraction program (closure keeps the
+    vocabulary's static tree parameters out of the trace)."""
 
     @jax.jit
     def extract_frame(images: jax.Array) -> FrameData:
-        feats = orb.extract_orb_rig(images, cfg.orb, n_feats)
-
-        def undist(c_feats, K, K_inv, dist):
-            uv = camera.undistort_pixels(c_feats.uv, K, K_inv, dist)
-            return c_feats._replace(uv=uv, uv_raw=c_feats.uv)
-
-        feats = jax.vmap(undist)(feats, rig.K, rig.K_inv, rig.dist)
-        if voc is not None:
-            def quant(d, v):
-                w, n = bow.quantize(voc, d)
-                return (jnp.where(v, w, -1), jnp.where(v, n, -1))
-            words, nodes = jax.vmap(quant)(feats.desc, feats.valid)
-        else:
-            words = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
-            nodes = jnp.full(feats.desc.shape[:2], -1, jnp.int32)
-        return FrameData(feats=feats, words=words, nodes=nodes)
+        return _extract_frame_body(images, cfg, n_feats, voc, rig)
 
     return extract_frame
+
+
+class FusedTrackOut(NamedTuple):
+    """Host-facing result of the fused one-dispatch track program."""
+
+    T_cw: jax.Array        # [4,4] final optimized rig pose
+    mp_slots: jax.Array    # [ncam, N] final inlier store slot per kp (-1)
+    n_stage1: jax.Array    # stage-1 (motion-model) inlier count
+    n_final: jax.Array     # final matched-inlier count
+    mp_visible: jax.Array  # [M] store slot frustum-visible in stage 2
+
+
+def make_track_fn(cfg: SystemConfig, n_feats: int,
+                  voc: Optional[bow.Vocabulary], rig: CameraRig):
+    """Build the fused ONE-DISPATCH per-frame tracking program.
+
+    The reference's per-frame hot path is GrabImageDual -> extract ->
+    TrackWithMotionModel -> TrackLocalMap (Tracking.cc:236-447,1384-1520),
+    which the host-stepped path here runs as 3-4 separate device programs
+    with a blocking readback between each.  On a remote-attached chip every
+    readback pays a full host<->device round trip, so the whole-system
+    frame rate is set by dispatch count, not device time.  This program
+    fuses the entire frame — extraction (+BoW quantization), stage-1
+    motion-model matching with the reference's widened retry
+    (Tracking.cc:1407-1414, as a lax.cond), pose optimization, and the
+    stage-2 local-map rematch + re-optimization — into one compiled
+    XLA program, so a tracked frame costs exactly one dispatch and one
+    batched readback.
+
+    Map points come from a device-resident store (tracking.DeviceMapStore)
+    refreshed by the host only when the map changes; stage1_mask selects
+    the subset tracked in the previous frame (the reference's last-frame
+    points, Tracking.cc:1384)."""
+    level_scales = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+    th_high = jnp.float32(cfg.matcher.th_high)
+    th_low = jnp.float32(cfg.matcher.th_low)
+    min_motion = int(cfg.tracker.min_matches_motion)
+    min_track = int(cfg.tracker.min_matches_track)
+
+    @jax.jit
+    def track_frame(images: jax.Array, T_last: jax.Array, V: jax.Array,
+                    stage1_mask: jax.Array, cam_enabled: jax.Array,
+                    mp_pos: jax.Array, mp_desc: jax.Array,
+                    mp_valid: jax.Array, mp_max: jax.Array,
+                    mp_min: jax.Array, mp_norm: jax.Array):
+        fd = _extract_frame_body(images, cfg, n_feats, voc, rig)
+        f = fd.feats
+        T_pred = V @ T_last
+
+        def stage(T_seed, vmask, radius, ham):
+            return match_projection_pose(
+                T_seed, f.uv, f.desc, f.level, f.angle, f.valid,
+                mp_pos, mp_desc, vmask, mp_max, mp_min, mp_norm,
+                rig, radius, level_scales, ham, jnp.float32(0.5),
+                cam_enabled)
+
+        v1 = mp_valid & stage1_mask
+        ra = stage(T_pred, v1, jnp.float32(15.0), th_high)
+
+        # widened retry on a thin result, keeping whichever is BETTER
+        # (Tracking.cc:1407-1414 and the host path's retry note: a wider
+        # window can harvest aliased matches, so it must never clobber an
+        # acceptable narrow-window result)
+        def wide(_):
+            rb = stage(T_pred, v1, jnp.float32(30.0), th_high)
+            use_b = rb.n_inliers > ra.n_inliers
+            return TrackResult(
+                T_cw=jnp.where(use_b, rb.T_cw, ra.T_cw),
+                mp_ids=jnp.where(use_b, rb.mp_ids, ra.mp_ids),
+                n_inliers=jnp.where(use_b, rb.n_inliers, ra.n_inliers),
+                mp_visible=jnp.where(use_b, rb.mp_visible, ra.mp_visible))
+
+        r1 = jax.lax.cond(ra.n_inliers < min_motion, wide, lambda _: ra,
+                          None)
+
+        # stage 2: local-map rematch from the optimized pose; narrow
+        # window when stage 1 was dense (Tracking.cc:1652-1657)
+        r2rad = jnp.where(r1.n_inliers >= 50, 6.0, 10.0).astype(jnp.float32)
+        r3 = stage(r1.T_cw, mp_valid, r2rad, th_low)
+        ok3 = r3.n_inliers >= min_track
+        T_f = jnp.where(ok3, r3.T_cw, r1.T_cw)
+        mp_f = jnp.where(ok3, r3.mp_ids, r1.mp_ids)
+        return fd, FusedTrackOut(
+            T_cw=T_f, mp_slots=mp_f, n_stage1=r1.n_inliers,
+            n_final=jnp.sum(mp_f >= 0), mp_visible=r3.mp_visible)
+
+    return track_frame
 
 
 class TrackResult(NamedTuple):

@@ -59,6 +59,74 @@ class HostFrame:
         return self.uv.shape[1]
 
 
+class DeviceMapStore:
+    """Device-resident padded SoA of the tracker's local map points,
+    consumed by the fused one-dispatch track program
+    (frontend.make_track_fn).
+
+    The host repacks it once per tracked frame from the authoritative
+    host map — packing ~2k points costs ~1ms and the upload is async —
+    which buys staleness-freedom (local BA rewrites point positions with
+    no epoch signal the host could cheaply key off) while keeping the
+    per-frame device traffic at one upload instead of a blocking repack
+    per match stage (the reference reads the live map under
+    mMutexMapUpdate every stage, Tracking.cc:283)."""
+
+    def __init__(self, cap: int) -> None:
+        self.cap = cap
+        self.slot_mids = np.full(cap, -1, np.int64)
+        self._sorted_mids = np.empty(0, np.int64)
+        self._order = np.empty(0, np.int64)
+        self.arrays = None   # (pos, desc, valid, dmax, dmin, normal)
+
+    @property
+    def n_valid(self) -> int:
+        return int((self.slot_mids >= 0).sum())
+
+    def refresh(self, m: Map, mids: np.ndarray) -> None:
+        cap = self.cap
+        mids = np.asarray(mids, np.int64)[:cap]
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        valid = np.zeros(cap, bool)
+        slot_mids = np.full(cap, -1, np.int64)
+        for i, mid in enumerate(mids):
+            mp = m.points.get(int(mid))
+            if mp is None or mp.is_bad:
+                continue
+            pos[i] = mp.pos
+            desc[i] = mp.desc
+            normal[i] = mp.normal
+            dmin[i] = mp.min_dist
+            dmax[i] = mp.max_dist if mp.max_dist > 0 else 1e9
+            valid[i] = True
+            slot_mids[i] = mid
+        self.slot_mids = slot_mids
+        self._order = np.argsort(slot_mids)
+        self._sorted_mids = slot_mids[self._order]
+        self.arrays = (jnp.asarray(pos), jnp.asarray(desc),
+                       jnp.asarray(valid), jnp.asarray(dmax),
+                       jnp.asarray(dmin), jnp.asarray(normal))
+
+    def slots_of_mids(self, mids: np.ndarray) -> np.ndarray:
+        """Vectorized mid -> store slot (-1 when absent)."""
+        mids = np.asarray(mids, np.int64)
+        if self._sorted_mids.size == 0 or mids.size == 0:
+            return np.full(mids.shape, -1, np.int64)
+        j = np.clip(np.searchsorted(self._sorted_mids, mids), 0,
+                    self._sorted_mids.size - 1)
+        return np.where(self._sorted_mids[j] == mids, self._order[j], -1)
+
+    def slots_to_mids(self, slots: np.ndarray) -> np.ndarray:
+        out = np.full(slots.shape, -1, np.int64)
+        ok = slots >= 0
+        out[ok] = self.slot_mids[slots[ok]]
+        return out
+
+
 class Tracker:
     NOT_INITIALIZED = "NOT_INITIALIZED"
     OK = "OK"
@@ -88,6 +156,12 @@ class Tracker:
         self.extract_init = (
             frontend.make_extract_fn(cfg, cfg.orb.n_init, voc, rig)
             if cfg.orb.n_init != cfg.orb.n_track else self.extract)
+        # fused one-dispatch tracking (frontend.make_track_fn): the whole
+        # per-frame hot path in one device program + one batched readback
+        self._track_fused = (
+            frontend.make_track_fn(cfg, cfg.orb.n_track, voc, rig)
+            if cfg.tracker.fused_tracking else None)
+        self._store: Optional[DeviceMapStore] = None
         self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
         self._level_scales = jnp.asarray(self.scale_factors)
 
@@ -145,11 +219,20 @@ class Tracker:
     def process(self, images: np.ndarray, timestamp: float) -> str:
         """Main per-frame entry (System::TrackDual -> Tracking::GrabImageDual,
         System.cc:153-180).  images [ncam, H, W] float32 grayscale."""
-        with self.timer("extract"):
-            ex = (self.extract_init if self.state == self.NOT_INITIALIZED
-                  else self.extract)
-            fd = ex(jnp.asarray(images))
-            frame = self._pull(fd, timestamp)
+        frame = None
+        fused_out = None
+        if self._can_fuse():
+            with self.timer("fused"):
+                r = self._dispatch_fused(images, timestamp)
+            if r is not None:
+                frame, fused_out = r
+        if frame is None:
+            with self.timer("extract"):
+                ex = (self.extract_init
+                      if self.state == self.NOT_INITIALIZED
+                      else self.extract)
+                fd = ex(jnp.asarray(images))
+                frame = self._pull(fd, timestamp)
         self.frame_id += 1
 
         if self._force_lost and self.state in (self.OK, self.FULL):
@@ -161,7 +244,7 @@ class Tracker:
                 self._monocular_initialization(frame)
         elif self.state in (self.OK, self.FULL):
             with self.timer("track"):
-                ok = self._track(frame)
+                ok = self._track(frame, fused=fused_out)
             if not ok:
                 self.state = self.LOST
                 self.events.append(f"LOST@{frame.frame_id}")
@@ -182,6 +265,75 @@ class Tracker:
                      frame.T_cw.copy()))
         self.last = frame
         return self.state
+
+    # ------------------------------------------------------------------
+    # fused one-dispatch tracking
+    # ------------------------------------------------------------------
+    def _can_fuse(self) -> bool:
+        return (self._track_fused is not None
+                and self.state in (self.OK, self.FULL)
+                and not self._force_lost
+                and self.last is not None and self.last.T_cw is not None
+                and self.last.mp_ids is not None
+                and int((self.last.mp_ids >= 0).sum()) >= 10)
+
+    def _dispatch_fused(self, images: np.ndarray, ts: float):
+        """Run the whole tracked frame as ONE device program + ONE batched
+        readback (frontend.make_track_fn).  Returns (HostFrame, (out,
+        store)) or None to fall back to the host-stepped path."""
+        last = self.last
+        tracked = np.unique(last.mp_ids[last.mp_ids >= 0])
+        cap = self.cfg.tracker.fused_cap
+        others = np.setdiff1d(self._local_map_points(last), tracked)
+        mids = np.concatenate([tracked, others])[:cap]
+        if mids.size < 10:
+            return None
+        if self._store is None or self._store.cap != cap:
+            self._store = DeviceMapStore(cap)
+        st = self._store
+        # refreshed at dispatch time, under whatever map lock the caller
+        # holds, so the packed snapshot is consistent with the host map
+        with self.timer("store_refresh"):
+            st.refresh(self.map, mids)
+        if st.n_valid < 10:
+            return None
+        mask = np.zeros(st.cap, bool)
+        sl = st.slots_of_mids(tracked)
+        mask[sl[sl >= 0]] = True
+        V = self.velocity if self.velocity is not None else np.eye(4)
+        fd, out = self._track_fused(
+            jnp.asarray(images),
+            jnp.asarray(last.T_cw.astype(np.float32)),
+            jnp.asarray(V.astype(np.float32)), jnp.asarray(mask),
+            self._cam_enabled(), *st.arrays)
+        fd_h, out_h = jax.device_get((fd, out))
+        return self._pull(fd_h, ts), (out_h, st)
+
+    def _finish_fused(self, frame: HostFrame, out, st: DeviceMapStore) -> bool:
+        """Adopt the fused program's pose/matches and run the shared
+        per-frame bookkeeping (the host half of TrackLocalMap,
+        Tracking.cc:1478-1520)."""
+        cfg = self.cfg
+        frame.T_cw = np.asarray(out.T_cw, np.float64)
+        frame.mp_ids = st.slots_to_mids(np.asarray(out.mp_slots))
+        n_final = int(out.n_final)
+        self.n_track_inliers = n_final
+        if n_final < cfg.tracker.min_matches_track:
+            frame.T_cw = None
+            frame.mp_ids = np.full_like(frame.mp_ids, -1)
+            return False
+        found_mids = {int(mid) for mid in frame.mp_ids[frame.mp_ids >= 0]}
+        vis_mids = set(found_mids)
+        vis = np.asarray(out.mp_visible)
+        vis_mids.update(
+            int(m) for m in st.slot_mids[vis & (st.slot_mids >= 0)])
+        for mid in vis_mids:
+            mp = self.map.points.get(mid)
+            if mp is not None:
+                mp.n_visible += 1
+                if mid in found_mids:
+                    mp.n_found += 1
+        return self._track_tail(frame)
 
     # ------------------------------------------------------------------
     def _pull(self, fd: frontend.FrameData, ts: float) -> HostFrame:
@@ -356,8 +508,15 @@ class Tracker:
     # ------------------------------------------------------------------
     # tracking (Tracking.cc:271-447)
     # ------------------------------------------------------------------
-    def _track(self, frame: HostFrame) -> bool:
+    def _track(self, frame: HostFrame, fused=None) -> bool:
         cfg = self.cfg
+        if fused is not None:
+            out, st = fused
+            if int(out.n_stage1) >= cfg.tracker.min_matches_motion:
+                return self._finish_fused(frame, out, st)
+            # thin motion-model result: fall through to the host-stepped
+            # fallback cascade below (rare; the fused stage-1 work is
+            # simply discarded)
         last = self.last
         if self.velocity is not None:
             T_pred = self.velocity @ last.T_cw
@@ -492,6 +651,12 @@ class Tracker:
                 if mid in found_mids:
                     mp.n_found += 1
 
+        return self._track_tail(frame)
+
+    def _track_tail(self, frame: HostFrame) -> bool:
+        """Post-pose per-frame bookkeeping shared by the fused and
+        host-stepped paths: velocity model, reference-KF update, keyframe
+        policy, dual bootstrap, FULL-state update (Tracking.cc:324-447)."""
         self.velocity = frame.T_cw @ np.linalg.inv(self.last.T_cw)
         self._update_ref_kid(frame)
         if not self.localization_only and self._need_new_keyframe(frame):

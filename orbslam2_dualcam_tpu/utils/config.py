@@ -155,6 +155,13 @@ class TrackerConfig:
     reloc_gap_bootstrap: int = 2
     scale_rel_sigma: float = 0.15
     scale_max_anchors: int = 8
+    # fused one-dispatch tracking (frontend.make_track_fn): run the whole
+    # per-frame hot path (extract + BoW + motion-model match + widened
+    # retry + pose opt + local-map rematch + re-opt) as ONE device
+    # program with ONE batched readback.  fused_cap is the fixed padded
+    # size of the device-resident local-map store — one size, one compile.
+    fused_tracking: bool = True
+    fused_cap: int = 2048
 
 
 @dataclass(frozen=True)
