@@ -2,19 +2,19 @@
 
 SURVEY §7 kernel target #1: the FAST-9/16 corner response is the most
 bandwidth-bound dense op in the per-frame path (16 shifted reads + 144
-boolean ops per pixel, per pyramid level, per camera).  The XLA version in
-ops/orb.py materializes the 16 shifted copies in HBM; this Pallas kernel
-computes the full response in VMEM tiles with a single read of the source
-image block (plus a 3-pixel halo), fusing shift + threshold + arc test +
-SAD score into one pass.
+boolean ops per pixel, per pyramid level, per camera), and XLA will not
+fuse it with the 3x3 NMS that follows (reduce_window is a fusion
+boundary).  fast_nms_pallas computes FAST at both thresholds, the
+high-preference blend, AND the NMS in one VMEM pass per tile — each image
+byte crosses HBM once instead of three times.  It is the live TPU path
+(ops/orb.py wires it in when cfg.pallas_fast and the backend is TPU).
+Correctness oracle: tests/test_pallas_fast.py (interpreter mode on CPU).
 
-Status (measured on TPU v5e, 640x480): 1.02ms vs 0.77ms for the XLA
-version — XLA's fusion already handles this shape well, so the jnp
-implementation stays the default; this kernel is the tuned-tile starting
-point for fusing the REST of the per-level pipeline (NMS + cell-max +
-orientation moments) into the same VMEM pass, which XLA will not do across
-the reduce_window/top_k boundaries.  Correctness oracle:
-tests/test_pallas_fast.py (interpreter mode on CPU)."""
+An earlier single-threshold, non-fused variant (fast_score_pallas)
+measured SLOWER than XLA's own fusion of the plain FAST response (1.02ms
+vs 0.77ms on v5e at 640x480) and was removed — the win here comes from
+crossing the reduce_window boundary, not from hand-writing the
+elementwise part."""
 
 from __future__ import annotations
 
@@ -29,91 +29,6 @@ from orbslam2_dualcam_tpu.ops.orb import FAST_OFFSETS
 _TILE_H = 64
 _TILE_W = 128
 _HALO = 3
-
-
-def _fast_kernel(img_ref, out_ref, *, threshold: float, h: int, w: int):
-    """Compute one (TILE_H, TILE_W) output tile; the input ref holds the
-    whole padded image in VMEM (halos come from dynamic slicing — haloed
-    overlapping blocks are not expressible in Blocked index maps)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    blk = img_ref[pl.ds(i * _TILE_H, _TILE_H + 2 * _HALO),
-                  pl.ds(j * _TILE_W, _TILE_W + 2 * _HALO)]
-    center = blk[_HALO:_HALO + _TILE_H, _HALO:_HALO + _TILE_W]
-
-    diffs = []
-    for dx, dy in FAST_OFFSETS:
-        sh = blk[_HALO + int(dy):_HALO + int(dy) + _TILE_H,
-                 _HALO + int(dx):_HALO + int(dx) + _TILE_W]
-        diffs.append(sh - center)
-
-    brighter = [d > threshold for d in diffs]
-    darker = [d < -threshold for d in diffs]
-
-    def arc_ok(flags):
-        out = None
-        for s in range(16):
-            run = flags[s]
-            for k in range(1, 9):
-                run = jnp.logical_and(run, flags[(s + k) % 16])
-            out = run if out is None else jnp.logical_or(out, run)
-        return out
-
-    is_b = arc_ok(brighter)
-    is_d = arc_ok(darker)
-    zero = jnp.zeros_like(center)
-    sb = zero
-    sd = zero
-    for d in diffs:
-        sb = sb + jnp.maximum(d - threshold, 0.0)
-        sd = sd + jnp.maximum(-d - threshold, 0.0)
-    score = jnp.where(is_b, sb, 0.0) + jnp.where(is_d, sd, 0.0)
-
-    # zero the out-of-image padding rows/cols of edge tiles
-    row0 = i * _TILE_H
-    col0 = j * _TILE_W
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
-    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-    score = jnp.where((rows < h) & (cols < w), score, 0.0)
-    out_ref[:] = score
-
-
-@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
-def fast_score_pallas(img: jax.Array, threshold: float,
-                      interpret: bool = False) -> jax.Array:
-    """Dense FAST-9/16 response via a tiled Pallas kernel.
-
-    img (H, W) float32; returns (H, W) float32 score (0 where not a
-    corner), identical to ops.orb.fast_score up to float associativity."""
-    H, W = img.shape
-    gh = pl.cdiv(H, _TILE_H)
-    gw = pl.cdiv(W, _TILE_W)
-    ph = gh * _TILE_H
-    pw = gw * _TILE_W
-    # zero-pad to the tile grid plus halo on every side (matches the
-    # reference implementation's zero-padded shifts)
-    imgp = jnp.zeros((ph + 2 * _HALO, pw + 2 * _HALO), img.dtype)
-    imgp = jax.lax.dynamic_update_slice(imgp, img, (_HALO, _HALO))
-
-    out = pl.pallas_call(
-        functools.partial(_fast_kernel, threshold=float(threshold), h=H,
-                          w=W),
-        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-        grid=(gh, gw),
-        in_specs=[pl.BlockSpec((ph + 2 * _HALO, pw + 2 * _HALO),
-                               lambda i, j: (0, 0))],
-        out_specs=pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j)),
-        interpret=interpret,
-    )(imgp)
-    return out[:H, :W]
-
-
-def pallas_fast_available() -> bool:
-    """True when the current default backend can run the compiled kernel."""
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
 
 
 # ---------------------------------------------------------------------------

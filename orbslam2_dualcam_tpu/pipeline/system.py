@@ -35,10 +35,16 @@ class System:
                  voc: Optional[bow.Vocabulary] = None,
                  enable_loop_closing: bool = True,
                  async_mapping: bool = False,
-                 mesh=None) -> None:
+                 mesh=None, viewer: bool = False,
+                 viewer_port: int = 0) -> None:
         """`mesh`: optional jax.sharding.Mesh with a "data" axis; when
         attached, global BA passes shard their edge tables across it
-        (parallel/runtime.solve_ba_auto)."""
+        (parallel/runtime.solve_ba_auto).
+
+        `viewer=True` starts the live HTTP viewer (viz/live.py — the
+        reference's Viewer thread, System.cc:137); `viewer_port=0` picks
+        a free port, printed at startup and available as
+        `system.viewer.port`."""
         self.cfg = cfg
         self.mesh = mesh
         self.rig = camera.make_rig(cfg)
@@ -77,6 +83,11 @@ class System:
             front = self.mapper
         self.tracker = Tracker(cfg, self.rig, voc, self.map, self.kfdb,
                                local_mapper=front, mesh=mesh)
+        self.viewer = None
+        if viewer:
+            from orbslam2_dualcam_tpu.viz.live import LiveViewer
+            self.viewer = LiveViewer(port=viewer_port)
+            print(f"# live viewer: http://localhost:{self.viewer.port}/")
 
     # ------------------------------------------------------------------
     def track(self, images: np.ndarray, timestamp: float) -> str:
@@ -88,10 +99,17 @@ class System:
         try:
             if self._async:
                 with self.map_lock:
-                    return self.tracker.process(images, timestamp)
-            return self.tracker.process(images, timestamp)
+                    state = self.tracker.process(images, timestamp)
+            else:
+                state = self.tracker.process(images, timestamp)
+            return state
         finally:
             self.frame_intervals.append((t0, _time.monotonic()))
+            if self.viewer is not None:
+                self.viewer.update(
+                    images, self.tracker.last, self.tracker.state,
+                    self.map, np.asarray(self.rig.T_sc),
+                    reloc_T_cw=self.tracker.last_reloc_cam_pose)
 
     def _mapping_loop(self) -> None:
         while not self._stop.is_set():
@@ -103,6 +121,9 @@ class System:
                 self.mapper.on_new_keyframe(kf, run_ba=run_ba)
 
     def shutdown(self) -> None:
+        if self.viewer is not None:
+            self.viewer.close()
+            self.viewer = None
         if self._async:
             while not self._kf_queue.empty():
                 import time

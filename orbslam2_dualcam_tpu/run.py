@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                     help="use only camera 0 (no splitting)")
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the live viewer (viz/live.py) over HTTP")
+    ap.add_argument("--viewer-port", type=int, default=0,
+                    help="live viewer port (0 = pick a free one)")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,7 +62,8 @@ def main(argv=None) -> int:
         else:  # the reference's DBoW2 artifact (.bin/.txt)
             from orbslam2_dualcam_tpu.vocab.orbvoc import load_orbvoc
             voc = load_orbvoc(args.vocab)
-    sys_ = System(cfg, voc=voc, enable_loop_closing=not args.no_loop)
+    sys_ = System(cfg, voc=voc, enable_loop_closing=not args.no_loop,
+                  viewer=args.viewer, viewer_port=args.viewer_port)
 
     cap = cv2.VideoCapture(args.video)
     if not cap.isOpened():

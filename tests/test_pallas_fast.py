@@ -5,28 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslam2_dualcam_tpu.ops import orb
-from orbslam2_dualcam_tpu.ops.pallas_kernels import (fast_nms_pallas,
-                                                      fast_score_pallas)
+from orbslam2_dualcam_tpu.ops.pallas_kernels import fast_nms_pallas
 from orbslam2_dualcam_tpu.utils import synthetic
-
-
-def test_matches_reference_impl(rng):
-    world = synthetic.make_box_world(rng, half=6.0, tex_size=256)
-    K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]])
-    img = synthetic.render(world, K, np.eye(4), H=240, W=320)
-    ref = np.asarray(orb.fast_score(jnp.asarray(img), 20.0))
-    ours = np.asarray(fast_score_pallas(jnp.asarray(img), 20.0,
-                                        interpret=True))
-    assert ours.shape == ref.shape
-    np.testing.assert_allclose(ours, ref, atol=1e-3)
-
-
-def test_non_tile_aligned_shape(rng):
-    img = rng.uniform(0, 255, (100, 150)).astype(np.float32)
-    ref = np.asarray(orb.fast_score(jnp.asarray(img), 12.0))
-    ours = np.asarray(fast_score_pallas(jnp.asarray(img), 12.0,
-                                        interpret=True))
-    np.testing.assert_allclose(ours, ref, atol=1e-3)
 
 
 def _fused_ref(img, th_hi, th_lo):
