@@ -56,7 +56,16 @@ FAST_OFFSETS = np.array([
 @functools.lru_cache()
 def brief_pattern(seed: int, patch_size: int = 31, n_bits: int = 256) -> np.ndarray:
     """(n_bits, 2, 2) int offsets (pairs of (dx, dy)) — BRIEF-style isotropic
-    Gaussian test pattern, clipped to the patch."""
+    Gaussian test pattern, clipped to the patch.
+
+    seed < 0 selects the ORB paper's PUBLISHED learned pattern instead
+    (ops/orb_pattern.py, the bit_pattern_31_ table of ORBextractor.cc:
+    150-406) — use it (OrbConfig.brief_learned) when descriptors must be
+    distributed like OpenCV-ORB's, e.g. to quantize against a pretrained
+    ORBvoc vocabulary."""
+    if seed < 0:
+        from orbslam2_dualcam_tpu.ops.orb_pattern import learned_pattern
+        return learned_pattern()
     rng = np.random.default_rng(seed)
     half = patch_size // 2
     sigma = patch_size / 5.0
@@ -457,7 +466,7 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
     pyr = build_pyramid(img, n_levels, cfg.scale_factor)
 
     uvs, lvls, angs, resps, descs = [], [], [], [], []
-    pattern = jnp.asarray(brief_pattern(cfg.brief_seed, cfg.patch_size))
+    brief_seed = -1 if cfg.brief_learned else cfg.brief_seed
     use_pallas = cfg.pallas_fast and jax.default_backend() == "tpu"
     for l, (im, budget) in enumerate(zip(pyr, budgets)):
         if budget == 0:
@@ -483,7 +492,7 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
         dyx = subpixel_offsets(sad_lo, yx)
         ang = ic_angles(im, yx, radius=(cfg.patch_size - 1) // 2)
         blur = gaussian_blur7(im)
-        d = brief_descriptors_matmul(blur, yx, ang, cfg.brief_seed,
+        d = brief_descriptors_matmul(blur, yx, ang, brief_seed,
                                      cfg.patch_size)
         scale_l = cfg.scale_factor ** l
         # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5

@@ -64,6 +64,10 @@ class OrbConfig:
     # generated from this seed (the reference embeds a learned 256-pair
     # table, bit_pattern_31_ at ORBextractor.cc:150; we train-free sample
     # the classic BRIEF gaussian pattern instead — see ops/orb.py)
+    brief_learned: bool = False      # use the PUBLISHED learned ORB pattern
+    # (ops/orb_pattern.py) so descriptors are distributed like OpenCV-ORB's
+    # — required for sensible quantization against a pretrained ORBvoc
+    # (vocab/orbvoc.py); self-trained vocabularies work with either
     pallas_fast: bool = True         # fused FAST+NMS Pallas kernel on TPU
     # (ops/pallas_kernels.fast_nms_pallas); only engages when the trace
     # backend is tpu — CPU tests always take the XLA path
