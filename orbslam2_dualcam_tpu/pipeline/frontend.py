@@ -36,10 +36,12 @@ def _extract_frame_body(images: jax.Array, cfg: SystemConfig, n_feats: int,
                         voc: Optional[bow.Vocabulary],
                         rig: CameraRig) -> FrameData:
     """Traced extraction body shared by make_extract_fn and the fused
-    per-frame track program (make_track_fn).
+    per-frame track program (make_track_fn).  Accepts uint8 images (the
+    bandwidth-efficient upload format) and converts on device.
 
     Keypoints are undistorted here, once, exactly as
     Frame::UndistortKeyPoints does per camera (Frame.cc:410-442)."""
+    images = images.astype(jnp.float32)
     feats = orb.extract_orb_rig(images, cfg.orb, n_feats)
 
     def undist(c_feats, K, K_inv, dist):
@@ -74,6 +76,7 @@ class FusedTrackOut(NamedTuple):
     """Host-facing result of the fused one-dispatch track program."""
 
     T_cw: jax.Array        # [4,4] final optimized rig pose
+    V_new: jax.Array       # [4,4] updated velocity model T_cw @ T_last^-1
     mp_slots: jax.Array    # [ncam, N] final inlier store slot per kp (-1)
     n_stage1: jax.Array    # stage-1 (motion-model) inlier count
     n_final: jax.Array     # final matched-inlier count
@@ -97,22 +100,75 @@ def make_track_fn(cfg: SystemConfig, n_feats: int,
     XLA program, so a tracked frame costs exactly one dispatch and one
     batched readback.
 
-    Map points come from a device-resident store (tracking.DeviceMapStore)
-    refreshed by the host only when the map changes; stage1_mask selects
-    the subset tracked in the previous frame (the reference's last-frame
-    points, Tracking.cc:1384)."""
+    Map points come from a device-resident store (tracking.DeviceMapStore);
+    prev_slots [ncam, N] are the previous frame's matched store slots (the
+    reference's last-frame points, Tracking.cc:1384) — accepted as a
+    device array so the deferred pipeline can chain frames without any
+    host round trip, which is also why V_new (the velocity model update)
+    is computed in-program."""
+    body = _make_track_body(cfg, n_feats, voc, rig)
+
+    @jax.jit
+    def track_frame(images: jax.Array, T_last: jax.Array, V: jax.Array,
+                    prev_slots: jax.Array, cam_enabled: jax.Array,
+                    mp_pos: jax.Array, mp_desc: jax.Array,
+                    mp_valid: jax.Array, mp_max: jax.Array,
+                    mp_min: jax.Array, mp_norm: jax.Array):
+        return body(images, T_last, V, prev_slots, cam_enabled, mp_pos,
+                    mp_desc, mp_valid, mp_max, mp_min, mp_norm)
+
+    return track_frame
+
+
+def make_track_batch_fn(cfg: SystemConfig, n_feats: int,
+                        voc: Optional[bow.Vocabulary], rig: CameraRig,
+                        depth: int):
+    """Depth-D batched variant of make_track_fn: lax.scan the fused
+    per-frame body over a [D, ncam, H, W] image stack, chaining pose /
+    velocity / matched-slot carries on device.  One dispatch + one
+    batched readback per D frames — on a remote-attached chip this
+    divides the per-frame round-trip and dispatch overhead by D (the
+    driver of whole-system fps once the compute itself is pipelined)."""
+    body = _make_track_body(cfg, n_feats, voc, rig)
+
+    @jax.jit
+    def track_batch(images: jax.Array, T_last: jax.Array, V: jax.Array,
+                    prev_slots: jax.Array, cam_enabled: jax.Array,
+                    mp_pos: jax.Array, mp_desc: jax.Array,
+                    mp_valid: jax.Array, mp_max: jax.Array,
+                    mp_min: jax.Array, mp_norm: jax.Array):
+        def step(carry, img):
+            T, Vc, slots = carry
+            fd, out = body(img, T, Vc, slots, cam_enabled, mp_pos,
+                           mp_desc, mp_valid, mp_max, mp_min, mp_norm)
+            return (out.T_cw, out.V_new, out.mp_slots), (fd, out)
+
+        carry, (fds, outs) = jax.lax.scan(step, (T_last, V, prev_slots),
+                                          images)
+        # final carry returned separately so the host never pays a device
+        # round trip slicing the last step out of the stacked outputs
+        return carry, fds, outs    # fds/outs: leading axis D on every leaf
+
+    return track_batch
+
+
+def _make_track_body(cfg: SystemConfig, n_feats: int,
+                     voc: Optional[bow.Vocabulary], rig: CameraRig):
     level_scales = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
     th_high = jnp.float32(cfg.matcher.th_high)
     th_low = jnp.float32(cfg.matcher.th_low)
     min_motion = int(cfg.tracker.min_matches_motion)
     min_track = int(cfg.tracker.min_matches_track)
 
-    @jax.jit
     def track_frame(images: jax.Array, T_last: jax.Array, V: jax.Array,
-                    stage1_mask: jax.Array, cam_enabled: jax.Array,
+                    prev_slots: jax.Array, cam_enabled: jax.Array,
                     mp_pos: jax.Array, mp_desc: jax.Array,
                     mp_valid: jax.Array, mp_max: jax.Array,
                     mp_min: jax.Array, mp_norm: jax.Array):
+        M = mp_pos.shape[0]
+        stage1_mask = jnp.zeros(M, bool).at[
+            jnp.where(prev_slots >= 0, prev_slots, M).reshape(-1)
+        ].set(True, mode='drop')
         fd = _extract_frame_body(images, cfg, n_feats, voc, rig)
         f = fd.feats
         T_pred = V @ T_last
@@ -150,8 +206,26 @@ def make_track_fn(cfg: SystemConfig, n_feats: int,
         ok3 = r3.n_inliers >= min_track
         T_f = jnp.where(ok3, r3.T_cw, r1.T_cw)
         mp_f = jnp.where(ok3, r3.mp_ids, r1.mp_ids)
+        # Re-orthonormalize the output rotation (Gram-Schmidt): the
+        # device-resident pose chain multiplies f32 matrices every frame
+        # with no host float64 round trip to sweep up drift, and the rigid
+        # inverse below assumes R in SO(3) — without this projection the
+        # off-manifold component compounds ~2.4x per frame through the
+        # velocity carry until tracking collapses (measured on the orbit
+        # fixture: divergence at ~15 chained frames).
+        c0 = T_f[:3, 0] / jnp.linalg.norm(T_f[:3, 0])
+        c1 = T_f[:3, 1] - jnp.dot(c0, T_f[:3, 1]) * c0
+        c1 = c1 / jnp.linalg.norm(c1)
+        c2 = jnp.cross(c0, c1)
+        T_f = T_f.at[:3, :3].set(jnp.stack([c0, c1, c2], axis=1))
+        # SE3 inverse of T_last for the velocity update (Tracking.cc:1466);
+        # T_last is a previous orthonormalized output (or a host seed), so
+        # the rigid inverse is exact
+        R = T_last[:3, :3]
+        Ti = jnp.eye(4).at[:3, :3].set(R.T).at[:3, 3].set(
+            -R.T @ T_last[:3, 3])
         return fd, FusedTrackOut(
-            T_cw=T_f, mp_slots=mp_f, n_stage1=r1.n_inliers,
+            T_cw=T_f, V_new=T_f @ Ti, mp_slots=mp_f, n_stage1=r1.n_inliers,
             n_final=jnp.sum(mp_f >= 0), mp_visible=r3.mp_visible)
 
     return track_frame

@@ -36,7 +36,8 @@ class System:
                  enable_loop_closing: bool = True,
                  async_mapping: bool = False,
                  mesh=None, viewer: bool = False,
-                 viewer_port: int = 0) -> None:
+                 viewer_port: int = 0,
+                 deferred_tracking: bool = False) -> None:
         """`mesh`: optional jax.sharding.Mesh with a "data" axis; when
         attached, global BA passes shard their edge tables across it
         (parallel/runtime.solve_ba_auto).
@@ -44,7 +45,14 @@ class System:
         `viewer=True` starts the live HTTP viewer (viz/live.py — the
         reference's Viewer thread, System.cc:137); `viewer_port=0` picks
         a free port, printed at startup and available as
-        `system.viewer.port`."""
+        `system.viewer.port`.
+
+        `deferred_tracking=True` runs the tracker lag-1 pipelined: frame
+        k is dispatched to the device, then frame k-1's results are read
+        and processed while k computes — track() returns state one frame
+        behind, and shutdown() flushes the in-flight frame.  This is the
+        deployment mode for remote-attached chips, where a blocking
+        per-frame readback costs a full network round trip."""
         self.cfg = cfg
         self.mesh = mesh
         self.rig = camera.make_rig(cfg)
@@ -82,7 +90,8 @@ class System:
         else:
             front = self.mapper
         self.tracker = Tracker(cfg, self.rig, voc, self.map, self.kfdb,
-                               local_mapper=front, mesh=mesh)
+                               local_mapper=front, mesh=mesh,
+                               deferred=deferred_tracking)
         self.viewer = None
         if viewer:
             from orbslam2_dualcam_tpu.viz.live import LiveViewer
@@ -121,6 +130,7 @@ class System:
                 self.mapper.on_new_keyframe(kf, run_ba=run_ba)
 
     def shutdown(self) -> None:
+        self.tracker.flush()
         if self.viewer is not None:
             self.viewer.close()
             self.viewer = None

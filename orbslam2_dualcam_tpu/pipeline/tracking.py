@@ -83,9 +83,22 @@ class DeviceMapStore:
     def n_valid(self) -> int:
         return int((self.slot_mids >= 0).sum())
 
-    def refresh(self, m: Map, mids: np.ndarray) -> None:
+    def refresh(self, m: Map, mids: np.ndarray, sticky: bool = False) -> None:
+        """Repack from the host map.  sticky=True keeps surviving mids in
+        their existing slots and fills freed slots with new mids — the
+        deferred pipeline dispatches frame k+1 before frame k's slot
+        references are read back, so slot identity must survive refreshes
+        (a reused slot merely yields one stale stage-1 candidate)."""
         cap = self.cap
         mids = np.asarray(mids, np.int64)[:cap]
+        if sticky and self.arrays is not None:
+            keep = np.isin(self.slot_mids, mids) & (self.slot_mids >= 0)
+            assigned = np.where(keep, self.slot_mids, -1)
+            new = np.setdiff1d(mids, assigned[keep])
+            free = np.nonzero(assigned < 0)[0]
+            k = min(free.size, new.size)
+            assigned[free[:k]] = new[:k]
+            mids = assigned
         pos = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)
         normal = np.zeros((cap, 3), np.float32)
@@ -112,13 +125,16 @@ class DeviceMapStore:
                        jnp.asarray(dmin), jnp.asarray(normal))
 
     def slots_of_mids(self, mids: np.ndarray) -> np.ndarray:
-        """Vectorized mid -> store slot (-1 when absent)."""
+        """Vectorized mid -> store slot (-1 when absent).  -1 queries stay
+        -1 (slot_mids uses -1 for empty slots, so a naive lookup would
+        "find" them)."""
         mids = np.asarray(mids, np.int64)
         if self._sorted_mids.size == 0 or mids.size == 0:
             return np.full(mids.shape, -1, np.int64)
         j = np.clip(np.searchsorted(self._sorted_mids, mids), 0,
                     self._sorted_mids.size - 1)
-        return np.where(self._sorted_mids[j] == mids, self._order[j], -1)
+        hit = (self._sorted_mids[j] == mids) & (mids >= 0)
+        return np.where(hit, self._order[j], -1)
 
     def slots_to_mids(self, slots: np.ndarray) -> np.ndarray:
         out = np.full(slots.shape, -1, np.int64)
@@ -137,7 +153,8 @@ class Tracker:
                  voc: Optional[bow.Vocabulary] = None,
                  slam_map: Optional[Map] = None,
                  kfdb: Optional[KeyFrameDatabase] = None,
-                 local_mapper=None, mesh=None) -> None:
+                 local_mapper=None, mesh=None,
+                 deferred: bool = False) -> None:
         self.cfg = cfg
         self.rig = rig
         self.mesh = mesh
@@ -162,6 +179,22 @@ class Tracker:
             frontend.make_track_fn(cfg, cfg.orb.n_track, voc, rig)
             if cfg.tracker.fused_tracking else None)
         self._store: Optional[DeviceMapStore] = None
+        # deferred (lag-1 pipelined) mode: dispatch frame k, then read and
+        # process frame k-1's results while k computes on device — the
+        # host never blocks on the frame it just dispatched, so the
+        # steady-state rate is set by device time, not the host<->device
+        # round trip (SURVEY §5: the host reads results asynchronously a
+        # frame behind, the TPU analog of the reference's thread overlap)
+        self.deferred = deferred and self._track_fused is not None
+        self._pending = None    # in-flight dispatch (lag-1 or batch form)
+        self._carry = None      # (T_dev, V_dev, slots_dev)
+        self._batch: List[Tuple] = []   # buffered (u8 images, ts, fid)
+        depth = max(1, int(cfg.tracker.pipeline_depth))
+        self._depth = depth if self.deferred else 1
+        self._track_batch = (
+            frontend.make_track_batch_fn(cfg, cfg.orb.n_track, voc, rig,
+                                         depth)
+            if self.deferred and depth > 1 else None)
         self.scale_factors = np.asarray(cfg.orb.scale_factors, np.float32)
         self._level_scales = jnp.asarray(self.scale_factors)
 
@@ -214,16 +247,33 @@ class Tracker:
         self.last_reloc_cam_pose = None
         self._xedges_at_gba = 0
         self.trajectory.clear()
+        self._pending = None
+        self._carry = None
+        self._store = None
+        self._batch = []
 
     # ------------------------------------------------------------------
     def process(self, images: np.ndarray, timestamp: float) -> str:
         """Main per-frame entry (System::TrackDual -> Tracking::GrabImageDual,
-        System.cc:153-180).  images [ncam, H, W] float32 grayscale."""
+        System.cc:153-180).  images [ncam, H, W] float32 grayscale.
+
+        In deferred mode the returned state (and all bookkeeping) lags up
+        to 2*depth-1 frames: frames are dispatched to the device in
+        batches of `pipeline_depth`, and the previous batch's results are
+        read and processed while the new one computes."""
+        if self.deferred:
+            r = self._process_deferred(images, timestamp)
+            if r is not None:
+                return r
+        return self._process_sync(images, timestamp)
+
+    def _process_sync(self, images: np.ndarray, timestamp: float,
+                      fid: Optional[int] = None) -> str:
         frame = None
         fused_out = None
         if self._can_fuse():
             with self.timer("fused"):
-                r = self._dispatch_fused(images, timestamp)
+                r = self._dispatch_fused(images, timestamp, fid=fid)
             if r is not None:
                 frame, fused_out = r
         if frame is None:
@@ -231,9 +281,10 @@ class Tracker:
                 ex = (self.extract_init
                       if self.state == self.NOT_INITIALIZED
                       else self.extract)
-                fd = ex(jnp.asarray(images))
-                frame = self._pull(fd, timestamp)
-        self.frame_id += 1
+                fd = ex(self._stage_images(images))
+                frame = self._pull(fd, timestamp, frame_id=fid)
+        if fid is None:
+            self.frame_id += 1
 
         if self._force_lost and self.state in (self.OK, self.FULL):
             self._force_lost = False
@@ -253,18 +304,22 @@ class Tracker:
                 self.state = self.OK
                 self.events.append(f"RELOC@{frame.frame_id}")
 
-        if frame.T_cw is not None:
-            # store the pose RELATIVE to the reference keyframe so later
-            # BA / loop corrections retro-apply at save time, as the
-            # reference's mlRelativeFramePoses does (System.cc:340-370)
-            ref = self.map.keyframes.get(self.ref_kid)
-            if ref is not None:
-                T_rel = frame.T_cw @ np.linalg.inv(ref.T_cw)
-                self.trajectory.append(
-                    (frame.frame_id, timestamp, self.ref_kid, T_rel,
-                     frame.T_cw.copy()))
+        self._record_trajectory(frame, timestamp)
         self.last = frame
         return self.state
+
+    def _record_trajectory(self, frame: HostFrame, timestamp: float) -> None:
+        """Store the pose RELATIVE to the reference keyframe so later
+        BA / loop corrections retro-apply at save time, as the
+        reference's mlRelativeFramePoses does (System.cc:340-370)."""
+        if frame.T_cw is None:
+            return
+        ref = self.map.keyframes.get(self.ref_kid)
+        if ref is not None:
+            T_rel = frame.T_cw @ np.linalg.inv(ref.T_cw)
+            self.trajectory.append(
+                (frame.frame_id, timestamp, self.ref_kid, T_rel,
+                 frame.T_cw.copy()))
 
     # ------------------------------------------------------------------
     # fused one-dispatch tracking
@@ -277,45 +332,43 @@ class Tracker:
                 and self.last.mp_ids is not None
                 and int((self.last.mp_ids >= 0).sum()) >= 10)
 
-    def _dispatch_fused(self, images: np.ndarray, ts: float):
+    def _dispatch_fused(self, images: np.ndarray, ts: float,
+                        fid: Optional[int] = None):
         """Run the whole tracked frame as ONE device program + ONE batched
         readback (frontend.make_track_fn).  Returns (HostFrame, (out,
-        store)) or None to fall back to the host-stepped path."""
+        slot_mids)) or None to fall back to the host-stepped path."""
         last = self.last
-        tracked = np.unique(last.mp_ids[last.mp_ids >= 0])
-        cap = self.cfg.tracker.fused_cap
-        others = np.setdiff1d(self._local_map_points(last), tracked)
-        mids = np.concatenate([tracked, others])[:cap]
-        if mids.size < 10:
-            return None
-        if self._store is None or self._store.cap != cap:
-            self._store = DeviceMapStore(cap)
-        st = self._store
         # refreshed at dispatch time, under whatever map lock the caller
         # holds, so the packed snapshot is consistent with the host map
-        with self.timer("store_refresh"):
-            st.refresh(self.map, mids)
-        if st.n_valid < 10:
+        self._refresh_store(last)
+        st = self._store
+        if st is None or st.n_valid < 10:
             return None
-        mask = np.zeros(st.cap, bool)
-        sl = st.slots_of_mids(tracked)
-        mask[sl[sl >= 0]] = True
+        prev_slots = st.slots_of_mids(last.mp_ids).astype(np.int32)
         V = self.velocity if self.velocity is not None else np.eye(4)
         fd, out = self._track_fused(
-            jnp.asarray(images),
+            self._stage_images(images),
             jnp.asarray(last.T_cw.astype(np.float32)),
-            jnp.asarray(V.astype(np.float32)), jnp.asarray(mask),
+            jnp.asarray(V.astype(np.float32)), jnp.asarray(prev_slots),
             self._cam_enabled(), *st.arrays)
         fd_h, out_h = jax.device_get((fd, out))
-        return self._pull(fd_h, ts), (out_h, st)
+        return (self._pull(fd_h, ts, frame_id=fid),
+                (out_h, st.slot_mids.copy()))
 
-    def _finish_fused(self, frame: HostFrame, out, st: DeviceMapStore) -> bool:
+    def _finish_fused(self, frame: HostFrame, out,
+                      slot_mids: np.ndarray) -> bool:
         """Adopt the fused program's pose/matches and run the shared
         per-frame bookkeeping (the host half of TrackLocalMap,
-        Tracking.cc:1478-1520)."""
+        Tracking.cc:1478-1520).  `slot_mids` is the store slot->mid table
+        AS OF THIS FRAME'S DISPATCH (the deferred pipeline processes a
+        frame after the store may have been repacked)."""
         cfg = self.cfg
         frame.T_cw = np.asarray(out.T_cw, np.float64)
-        frame.mp_ids = st.slots_to_mids(np.asarray(out.mp_slots))
+        mp_slots = np.asarray(out.mp_slots)
+        mids = np.full(mp_slots.shape, -1, np.int64)
+        ok = mp_slots >= 0
+        mids[ok] = slot_mids[mp_slots[ok]]
+        frame.mp_ids = mids
         n_final = int(out.n_final)
         self.n_track_inliers = n_final
         if n_final < cfg.tracker.min_matches_track:
@@ -326,7 +379,7 @@ class Tracker:
         vis_mids = set(found_mids)
         vis = np.asarray(out.mp_visible)
         vis_mids.update(
-            int(m) for m in st.slot_mids[vis & (st.slot_mids >= 0)])
+            int(m) for m in slot_mids[vis & (slot_mids >= 0)])
         for mid in vis_mids:
             mp = self.map.points.get(mid)
             if mp is not None:
@@ -336,9 +389,216 @@ class Tracker:
         return self._track_tail(frame)
 
     # ------------------------------------------------------------------
-    def _pull(self, fd: frontend.FrameData, ts: float) -> HostFrame:
+    # deferred (lag-1 pipelined) mode
+    # ------------------------------------------------------------------
+    def _process_deferred(self, images: np.ndarray, ts: float):
+        """Dispatch frame k with device-resident carries (pose, velocity,
+        previous matched slots), then read & process frame k-1 while k
+        computes.  Returns the state as of the last processed frame, or
+        None to fall back to the synchronous path (pipeline drained)."""
+        eligible = (self.state in (self.OK, self.FULL)
+                    and not self._force_lost)
+        if eligible and self._carry is None:
+            # pipeline start: seed carries from the last processed frame
+            last = self.last
+            if (last is None or last.T_cw is None or last.mp_ids is None
+                    or int((last.mp_ids >= 0).sum()) < 10):
+                eligible = False
+            else:
+                self._refresh_store(last, sticky=True)
+                st = self._store
+                if st is None or st.n_valid < 10:
+                    eligible = False
+                else:
+                    V = (self.velocity if self.velocity is not None
+                         else np.eye(4))
+                    # canonical [ncam, n_track] slot layout regardless of
+                    # the seed frame's feature budget (init frames carry
+                    # 2x features; the scan carry type must be fixed)
+                    sl = st.slots_of_mids(last.mp_ids).astype(np.int32)
+                    sl = sl[sl >= 0]
+                    seed = np.full(
+                        (self.cfg.n_cameras, self.cfg.orb.n_track), -1,
+                        np.int32)
+                    seed.reshape(-1)[:sl.size] = sl[
+                        :seed.size]
+                    self._carry = (
+                        jnp.asarray(last.T_cw.astype(np.float32)),
+                        jnp.asarray(V.astype(np.float32)),
+                        jnp.asarray(seed))
+        if not eligible or self._store is None:
+            self._drain_pending()
+            return None
+
+        st = self._store
+        if self._depth > 1:
+            # batched pipeline: buffer D frames, dispatch them as one
+            # lax.scan program, and process the PREVIOUS batch while the
+            # new one computes
+            self._batch.append((self._to_u8(images), ts, self.frame_id))
+            self.frame_id += 1
+            if len(self._batch) < self._depth:
+                return self.state
+            imgs = np.stack([b[0] for b in self._batch])
+            metas = [(b[1], b[2]) for b in self._batch]
+            self._batch = []
+            T_dev, V_dev, slots_dev = self._carry
+            with self.timer("fused_dispatch"):
+                carry, fds, outs = self._track_batch(
+                    jnp.asarray(imgs), T_dev, V_dev, slots_dev,
+                    self._cam_enabled(), *st.arrays)
+            self._carry = carry
+            pending = self._pending
+            self._pending = ("batch", fds, outs, metas,
+                             st.slot_mids.copy())
+            if pending is None:
+                return self.state
+            return self._process_pending(pending)
+
+        T_dev, V_dev, slots_dev = self._carry
+        with self.timer("fused_dispatch"):
+            fd, out = self._track_fused(
+                self._stage_images(images), T_dev, V_dev, slots_dev,
+                self._cam_enabled(), *st.arrays)
+        self._carry = (out.T_cw, out.V_new, out.mp_slots)
+        fid = self.frame_id
+        self.frame_id += 1
+        pending = self._pending
+        self._pending = ("one", fd, out, ts, fid, st.slot_mids.copy())
+        if pending is None:
+            return self.state
+        return self._process_pending(pending)
+
+    def _process_pending(self, pending) -> str:
+        """Read back and fully process previously dispatched frame(s)
+        (the host half of the pipeline, running a batch behind)."""
+        if pending[0] == "one":
+            _, fd, out, ts, fid, slot_mids = pending
+            with self.timer("fused_get"):
+                fd_h, out_h = jax.device_get((fd, out))
+            items = [(fd_h, out_h, ts, fid)]
+        else:
+            _, fds, outs, metas, slot_mids = pending
+            with self.timer("fused_get"):
+                fds_h, outs_h = jax.device_get((fds, outs))
+            items = [
+                (jax.tree_util.tree_map(lambda a: a[d], fds_h),
+                 jax.tree_util.tree_map(lambda a: a[d], outs_h), ts, fid)
+                for d, (ts, fid) in enumerate(metas)]
+
+        for i, (fd_h, out_h, ts, fid) in enumerate(items):
+            clean = self._process_one(fd_h, out_h, ts, fid, slot_mids)
+            if not clean:
+                # later frames of this batch were computed with a carry
+                # this frame's processing just invalidated (failure or a
+                # cascade-recovered pose): drop them + the in-flight batch
+                for _, _, _, fid2 in items[i + 1:]:
+                    self.events.append(f"DROPFRAME@{fid2}")
+                self._abort_pipeline()
+                return self.state
+        # repack (sticky) so the NEXT dispatch sees this batch's map
+        # updates (new KFs / points / local BA)
+        self._refresh_store(self.last, sticky=True)
+        if self._store is None or self._store.n_valid < 10:
+            self._abort_pipeline()
+        return self.state
+
+    def _process_one(self, fd_h, out_h, ts: float, fid: int,
+                     slot_mids: np.ndarray) -> bool:
+        """Full host-side processing of one read-back frame.  Returns
+        True iff the frame was cleanly accepted on the fused path (i.e.
+        the device carry chain remains valid)."""
+        frame = self._pull(fd_h, ts, frame_id=fid)
+        n1 = int(out_h.n_stage1)
+        if n1 < self.cfg.tracker.min_matches_motion:
+            self.events.append(
+                f"THIN@{fid} n1={n1} nf={int(out_h.n_final)}")
+        with self.timer("track"):
+            ok = (n1 >= self.cfg.tracker.min_matches_motion
+                  and self._finish_fused(frame, out_h, slot_mids))
+            if not ok and self.state in (self.OK, self.FULL):
+                # host fallback cascade on the materialized frame before
+                # declaring LOST (same order as the sync path)
+                ok = self._track(frame)
+        clean = ok and frame.T_cw is not None and np.allclose(
+            frame.T_cw, np.asarray(out_h.T_cw, np.float64), atol=1e-5)
+        if not ok:
+            self.state = self.LOST
+            self.events.append(f"LOST@{frame.frame_id}")
+            if self._relocalize(frame):
+                self.state = self.OK
+                self.events.append(f"RELOC@{frame.frame_id}")
+        self._record_trajectory(frame, ts)
+        self.last = frame
+        return clean and self.state in (self.OK, self.FULL)
+
+    def flush(self) -> str:
+        """Drain the deferred pipeline: process the in-flight frame (call
+        before reading final trajectories / shutting down)."""
+        self._drain_pending()
+        return self.state
+
+    def _abort_pipeline(self) -> None:
+        """Discard the in-flight dispatch (its carry chain is invalid)."""
+        if self._pending is not None:
+            if self._pending[0] == "one":
+                self.events.append(f"DROPFRAME@{self._pending[4]}")
+            else:
+                for _, fid in self._pending[3]:
+                    self.events.append(f"DROPFRAME@{fid}")
+        self._pending = None
+        self._carry = None
+
+    def _drain_pending(self) -> None:
+        """Process any in-flight + buffered frames before leaving the
+        pipelined mode (shutdown, reloc, state change)."""
+        pending, self._pending = self._pending, None
+        if pending is not None:
+            self._process_pending(pending)
+        buffered, self._batch = self._batch, []
+        self._carry = None
+        for img, ts, fid in buffered:
+            self._process_sync(img, ts, fid=fid)
+
+    @staticmethod
+    def _to_u8(images: np.ndarray) -> np.ndarray:
+        if images.dtype == np.uint8:
+            return images
+        return np.clip(np.round(images), 0, 255).astype(np.uint8)
+
+    def _stage_images(self, images: np.ndarray) -> jnp.ndarray:
+        """Device-stage one frame's images as uint8.  The remote-tunnel
+        transport is bandwidth-bound (measured: 49ms per f32 2x640x480
+        dual frame vs 14ms as u8), and 8-bit grayscale is the reference's
+        native input domain anyway (GrabImageDual, Tracking.cc:236-269);
+        the extract program converts to f32 on device."""
+        return jnp.asarray(self._to_u8(images))
+
+    def _refresh_store(self, frame: HostFrame, sticky: bool = False) -> bool:
+        """Repack the device-resident local map around `frame`'s view.
+        Returns False (and drops the store, so no caller can dispatch
+        against stale geometry) when the view is too point-starved."""
+        tracked = (np.unique(frame.mp_ids[frame.mp_ids >= 0])
+                   if frame.mp_ids is not None else np.empty(0, np.int64))
+        cap = self.cfg.tracker.fused_cap
+        others = (np.setdiff1d(self._local_map_points(frame), tracked)
+                  if tracked.size else np.empty(0, np.int64))
+        mids = np.concatenate([tracked, others])[:cap]
+        if mids.size < 10:
+            self._store = None
+            return False
+        if self._store is None or self._store.cap != cap:
+            self._store = DeviceMapStore(cap)
+        with self.timer("store_refresh"):
+            self._store.refresh(self.map, mids, sticky=sticky)
+        return True
+
+    # ------------------------------------------------------------------
+    def _pull(self, fd: frontend.FrameData, ts: float,
+              frame_id: Optional[int] = None) -> HostFrame:
         return HostFrame(
-            frame_id=self.frame_id, timestamp=ts,
+            frame_id=self.frame_id if frame_id is None else frame_id,
+            timestamp=ts,
             uv=np.asarray(fd.feats.uv), level=np.asarray(fd.feats.level),
             angle=np.asarray(fd.feats.angle), desc=np.asarray(fd.feats.desc),
             valid=np.asarray(fd.feats.valid), words=np.asarray(fd.words),
@@ -511,9 +771,9 @@ class Tracker:
     def _track(self, frame: HostFrame, fused=None) -> bool:
         cfg = self.cfg
         if fused is not None:
-            out, st = fused
+            out, slot_mids = fused
             if int(out.n_stage1) >= cfg.tracker.min_matches_motion:
-                return self._finish_fused(frame, out, st)
+                return self._finish_fused(frame, out, slot_mids)
             # thin motion-model result: fall through to the host-stepped
             # fallback cascade below (rare; the fused stage-1 work is
             # simply discarded)

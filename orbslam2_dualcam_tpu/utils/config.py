@@ -166,6 +166,11 @@ class TrackerConfig:
     # size of the device-resident local-map store — one size, one compile.
     fused_tracking: bool = True
     fused_cap: int = 2048
+    # deferred-mode pipeline depth: frames per batched dispatch/readback
+    # (lax.scan over the fused body).  Depth D divides the per-frame
+    # round-trip + dispatch overhead by D at the price of bookkeeping
+    # lagging up to 2D-1 frames.  1 = plain lag-1 pipelining.
+    pipeline_depth: int = 3
 
 
 @dataclass(frozen=True)
