@@ -37,11 +37,17 @@ from orbslam2_dualcam_tpu.vocab import bow  # noqa: E402
 
 
 def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
-        verbose: bool = True, seed: int = 3):
+        verbose: bool = True, seed: int = 3, loop_closing: bool = False,
+        total_angle: float = 2.0 * np.pi):
     """yaw_deg > 0: cam1 TRAILS the orbit sweep (sees regions cam0 mapped
     ~yaw/step frames earlier — the regime the reference's cross-camera
     reloc operates in); yaw_deg < 0: cam1 leads (nothing mapped in its
-    view until the lap closes — scale unobservable by construction)."""
+    view until the lap closes — scale unobservable by construction).
+
+    loop_closing=True + total_angle > 2*pi: the circuit revisits its
+    start after the metric bootstrap, exercising CreateSecondMap ->
+    SearchCrossCameras -> DetectLoop -> CorrectLoop -> GBA in one run
+    (the combination LoopClosing.cc:469-701 x Tracking.cc:512-775)."""
     yaw = np.deg2rad(-yaw_deg)
     q = (np.cos(-yaw / 2), 0.0, np.sin(-yaw / 2), 0.0)
     cam0 = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160,
@@ -62,7 +68,7 @@ def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
     # points where cam0 pointed ~yaw/step frames earlier — exactly the
     # regime where the reference's cross-camera reloc fires
     poses = synthetic.orbit_trajectory(n_frames, radius=1.2,
-                                       total_angle=2.0 * np.pi)
+                                       total_angle=total_angle)
     K = np.array([[260.0, 0, 160], [0, 260, 120], [0, 0, 1]])
     descs = []
     for img, _ in datasets.planar_photo_sequence(poses[::7], K, H=240,
@@ -72,7 +78,7 @@ def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
     voc = bow.train_vocabulary(np.concatenate(descs), branching=8, depth=4,
                                seed=9, weight_docs=descs)
 
-    sys_ = System(cfg, voc=voc, enable_loop_closing=False)
+    sys_ = System(cfg, voc=voc, enable_loop_closing=loop_closing)
     rig_K = np.asarray(sys_.rig.K)
     rig_T_sc = np.asarray(sys_.rig.T_sc)
     states = []
@@ -105,7 +111,9 @@ def run(yaw_deg: float = 69.0, n_frames: int = 110, baseline: float = 0.10,
         span=float(np.linalg.norm(gt.max(0) - gt.min(0))),
         n_lost=n_lost, n_kf=len(kids), final=states[-1],
         n_cross=sum(1 for mp in sys_.map.points.values()
-                    if mp.seen_by_multiple_cams))
+                    if mp.seen_by_multiple_cams),
+        n_loops=(sys_.loop_closer.n_loops_closed
+                 if sys_.loop_closer is not None else 0))
     if verbose:
         print(out)
     return out, sys_

@@ -7,20 +7,30 @@ camera systems assembled by `psum` over ICI.
 
 Design (scaling-book style):
 * mesh axis ``"data"`` shards the EDGE table (observations) — the only
-  O(n)-growing axis.  Poses [K,6] and points [M,3] are replicated: K and M
-  are orders of magnitude smaller than E, and replicating them turns every
-  LM iteration into embarrassingly-parallel edge work + two small psums.
+  O(n)-growing axis.  Poses [K,6] are always replicated (K is small and
+  every pose couples to every device's edges through the Schur system).
+* Two point layouts:
+  - **replicated** (default, `shard_points=False`): points [M,3] live on
+    every device; landmark reductions (g_l, H_ll, and the W-products
+    inside the Schur CG matvec) are psum'd.  Simplest; right for local
+    BA-sized M.
+  - **point-sharded** (`shard_points=True`): edges are PARTITIONED BY
+    POINT OWNER (host-side, round-robin over devices), so each device
+    holds only its M/n_dev landmark block — positions, H_ll, H_ll^-1 —
+    and every landmark-sized reduction becomes a LOCAL segment-sum with
+    NO collective.  Only the pose-sized (K*6) psums remain per CG
+    iteration, which is the scaling-book ideal: shard the O(n) axis,
+    replicate the small one, reduce only over the small one.  This is
+    what scales GBA past a single chip's HBM for both edges AND points.
 * each device computes its shard's residuals/Jacobians and partial
-  segment-sums (H_pp, H_ll, g, and the W-products inside the Schur CG
-  matvec); `jax.lax.psum` over "data" completes the reductions, after which
-  every device runs the identical (replicated) CG update — no host round
-  trips inside the solve.
+  segment-sums; `jax.lax.psum` over "data" completes the pose-sized
+  reductions, after which every device runs the identical (replicated)
+  CG update — no host round trips inside the solve.
 * built on `shard_map` so the collective schedule is explicit; the outer
   jit partitions inputs via NamedSharding.
 
-This scales BA to maps far beyond one chip's HBM-resident edge budget and
-is exercised (8 virtual devices) by tests/test_dist_ba.py and the
-driver's dryrun_multichip contract.
+Exercised (8 virtual devices) by tests/test_dist_ba.py and the driver's
+dryrun_multichip contract; scaling measured by examples/bench_dist_ba.py.
 """
 
 from __future__ import annotations
@@ -55,12 +65,86 @@ def _build_local(poses, points, edges, pose_valid, pose_fixed, point_valid,
     return r, Jp, Jx, w, chi2
 
 
+def partition_by_point(prob: BAProblem, n_dev: int):
+    """Host-side repartition for the point-sharded layout: edges grouped
+    by their point's owner device (round-robin by point id), point ids
+    localized, points restacked [n_dev * M_loc].
+
+    Returns (prob_partitioned, point_map [M] global->stacked index,
+    edge_perm [n_dev*E_pad] original edge row or -1 for padding)."""
+    e = prob.edges
+    M = int(prob.points.shape[0])
+    M_loc = -(-M // n_dev)
+    mp = np.asarray(e.mp)
+    valid = np.asarray(e.valid)
+    owner = mp % n_dev
+    local = mp // n_dev
+    per_dev = [np.nonzero((owner == d))[0] for d in range(n_dev)]
+    E_pad = max(8, max(len(ix) for ix in per_dev))
+    E_pad = -(-E_pad // 8) * 8
+
+    def pad_rows(ix):
+        out = np.full(E_pad, -1, np.int64)
+        out[:len(ix)] = ix
+        return out
+
+    rows = np.concatenate([pad_rows(ix) for ix in per_dev])   # [n_dev*E_pad]
+    sel = np.where(rows >= 0, rows, 0)
+    pad_mask = rows >= 0
+    edges = factors.Edges(
+        kf=jnp.asarray(np.asarray(e.kf)[sel]),
+        mp=jnp.asarray(local[sel].astype(np.int32)),
+        cam=jnp.asarray(np.asarray(e.cam)[sel]),
+        uv=jnp.asarray(np.asarray(e.uv)[sel]),
+        inv_sigma2=jnp.asarray(np.asarray(e.inv_sigma2)[sel]),
+        valid=jnp.asarray(valid[sel] & pad_mask))
+    # stacked points: device d's block holds globals {m : m % n_dev == d}
+    point_map = (np.arange(M) % n_dev) * M_loc + np.arange(M) // n_dev
+    pts = np.zeros((n_dev * M_loc, 3), np.float32)
+    pts[point_map] = np.asarray(prob.points)
+    pvalid = np.zeros(n_dev * M_loc, bool)
+    pvalid[point_map] = np.asarray(prob.point_valid)
+    prob_p = prob._replace(points=jnp.asarray(pts), edges=edges,
+                           point_valid=jnp.asarray(pvalid))
+    return prob_p, point_map, rows
+
+
 def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
                          iters: int = 10, cg_iters: int = 24,
                          cfg: BAConfig = BAConfig(),
-                         robust: bool = True) -> BAResult:
-    """Distributed LM/Schur/PCG global BA.  Edge arrays must have length
-    divisible by the mesh's "data" axis size."""
+                         robust: bool = True,
+                         shard_points: bool = False) -> BAResult:
+    """Distributed LM/Schur/PCG global BA.
+
+    shard_points=False: edge arrays must have length divisible by the
+    mesh's "data" axis size; points replicated.
+    shard_points=True: edges+points are repartitioned by point owner
+    (partition_by_point) and the landmark system stays fully local per
+    device; results are returned in the caller's original layout."""
+    if shard_points:
+        return _solve_sharded_points(prob, T_sc, adj_sc, Ks, mesh, iters,
+                                     cg_iters, cfg, robust)
+    return _solve(prob, T_sc, adj_sc, Ks, mesh, iters, cg_iters, cfg,
+                  robust, point_sharded=False)
+
+
+def _solve_sharded_points(prob, T_sc, adj_sc, Ks, mesh, iters, cg_iters,
+                          cfg, robust) -> BAResult:
+    n_dev = mesh.shape["data"]
+    prob_p, point_map, rows = partition_by_point(prob, n_dev)
+    res = _solve(prob_p, T_sc, adj_sc, Ks, mesh, iters, cg_iters, cfg,
+                 robust, point_sharded=True)
+    points = np.asarray(res.points)[point_map]
+    chi2 = np.zeros(prob.edges.kf.shape[0], np.float32)
+    ok = rows >= 0
+    chi2[rows[ok]] = np.asarray(res.edge_chi2)[ok]
+    return BAResult(poses=res.poses, points=jnp.asarray(points),
+                    edge_chi2=jnp.asarray(chi2), cost=res.cost)
+
+
+def _solve(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh, iters: int,
+           cg_iters: int, cfg: BAConfig, robust: bool,
+           point_sharded: bool) -> BAResult:
     K = prob.poses.shape[0]
     M = prob.points.shape[0]
     delta2 = cfg.huber_delta ** 2
@@ -68,12 +152,23 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
     n_dev = mesh.shape["data"]
     E = prob.edges.kf.shape[0]
     assert E % n_dev == 0, f"edge count {E} not divisible by mesh size {n_dev}"
+    # per-device landmark block size
+    M_loc = M // n_dev if point_sharded else M
+    if point_sharded:
+        assert M % n_dev == 0
 
     edge_spec = P("data")
     rep = P()
+    pt_spec = P("data") if point_sharded else rep
 
     def seg_psum(data, ids, num):
         return _psum(jax.ops.segment_sum(data, ids, num_segments=num))
+
+    def seg_point(data, ids):
+        """Landmark-sized reduction: local when points are sharded (each
+        edge lives with its point's owner), psum when replicated."""
+        s = jax.ops.segment_sum(data, ids, num_segments=M_loc)
+        return s if point_sharded else _psum(s)
 
     def step_fn(poses, points, edges, pose_valid, pose_fixed, point_valid,
                 lam, cost):
@@ -85,9 +180,9 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
         emp = edges.mp
 
         g_p = seg_psum(jnp.einsum('eri,e,er->ei', Jp, w, r), ekf, K)
-        g_l = seg_psum(jnp.einsum('eri,e,er->ei', Jx, w, r), emp, M)
+        g_l = seg_point(jnp.einsum('eri,e,er->ei', Jx, w, r), emp)
         Hpp = seg_psum(jnp.einsum('eri,e,erj->eij', Jp, w, Jp), ekf, K)
-        Hll = seg_psum(jnp.einsum('eri,e,erj->eij', Jx, w, Jx), emp, M)
+        Hll = seg_point(jnp.einsum('eri,e,erj->eij', Jx, w, Jx), emp)
 
         def damp(H, l):
             d = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -98,7 +193,7 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
         W_e = jnp.einsum('eri,e,erj->eij', Jp, w, Jx)     # local shard
 
         def S_matvec(v):
-            u = seg_psum(jnp.einsum('eij,ei->ej', W_e, v[ekf]), emp, M)
+            u = seg_point(jnp.einsum('eij,ei->ej', W_e, v[ekf]), emp)
             y = jnp.einsum('mij,mj->mi', Hll_inv, u)
             zz = seg_psum(jnp.einsum('eij,ej->ei', W_e, y[emp]), ekf, K)
             out = jnp.einsum('kij,kj->ki', Hpp_d, v) - zz
@@ -129,7 +224,7 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
             0, cg_iters, cg_body, (jnp.zeros_like(rhs), rhs, z0,
                                    jnp.vdot(rhs, z0)))
 
-        u = seg_psum(jnp.einsum('eij,ei->ej', W_e, dx_p[ekf]), emp, M)
+        u = seg_point(jnp.einsum('eij,ei->ej', W_e, dx_p[ekf]), emp)
         dx_l = -jnp.einsum('mij,mj->mi', Hll_inv, g_l + u)
         dx_l = jnp.where(point_valid[:, None], dx_l, 0.0)
 
@@ -195,9 +290,9 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(rep, rep, edge_spec, edge_spec, edge_spec, edge_spec,
-                  edge_spec, edge_spec, rep, rep, rep),
-        out_specs=(rep, rep, edge_spec, rep),
+        in_specs=(rep, pt_spec, edge_spec, edge_spec, edge_spec, edge_spec,
+                  edge_spec, edge_spec, rep, rep, pt_spec),
+        out_specs=(rep, pt_spec, edge_spec, rep),
         check_vma=False)
 
     e = prob.edges
@@ -205,8 +300,8 @@ def solve_ba_distributed(prob: BAProblem, T_sc, adj_sc, Ks, mesh: Mesh,
     # (jax.distributed across hosts) every process holds the same host
     # arrays and this scatters each one onto its (possibly remote) shards;
     # single-process it is a plain transfer
-    specs = (rep, rep, edge_spec, edge_spec, edge_spec, edge_spec,
-             edge_spec, edge_spec, rep, rep, rep)
+    specs = (rep, pt_spec, edge_spec, edge_spec, edge_spec, edge_spec,
+             edge_spec, edge_spec, rep, rep, pt_spec)
     args = (prob.poses, prob.points, e.kf, e.mp, e.cam, e.uv, e.inv_sigma2,
             e.valid, prob.pose_valid, prob.pose_fixed, prob.point_valid)
     args = tuple(jax.device_put(a, NamedSharding(mesh, s))

@@ -93,10 +93,12 @@ def test_metric_scale_recovered(dual_run):
         gt.append(-Tg[:3, :3].T @ Tg[:3, 3])
     est = np.asarray(est)
     gt = np.asarray(gt)
-    # Scale factor between est and gt should be ~1.  MEASURED INFORMATION
-    # LIMIT (full analysis in RESULTS.md "metric-scale observability"):
-    # at this rig's 10cm baseline on this drifty mono map the scale is
-    # not recoverable by ANY estimator — (a) the anchor displacement
+    # Scale factor between est and gt should be ~1.  MEASURED LIMIT
+    # (full analysis in RESULTS.md "metric-scale observability"; round-4
+    # oracle cross-check in examples/exp_oracle_scale.py refines it: a
+    # clean mono map supports ~1.25x recovery with oracle anchors, so
+    # the floor here is anchor-POSE error + bootstrap perturbation, not
+    # pure map information) — (a) the anchor displacement
     # signal |o|/alpha = 0.016 map units sits under the region drift
     # (0.04-0.19 units measured), so the median over ALL anchor-subset
     # fits lands at alpha~1.2 for a ground truth of 6.2; and (b) BA's own
