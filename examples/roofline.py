@@ -49,8 +49,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from orbslam2_dualcam_tpu.ops import camera, matching, orb
-    from orbslam2_dualcam_tpu.ops.orb import (build_pyramid, gaussian_blur7,
-                                              _gather_patches)
+    from orbslam2_dualcam_tpu.ops.orb import gaussian_blur7
     from orbslam2_dualcam_tpu.pipeline import frontend
     from orbslam2_dualcam_tpu.utils.config import dual_default
 

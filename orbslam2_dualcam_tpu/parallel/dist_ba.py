@@ -35,8 +35,6 @@ dryrun_multichip contract; scaling measured by examples/bench_dist_ba.py.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

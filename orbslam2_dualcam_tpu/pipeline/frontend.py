@@ -11,7 +11,6 @@ the control flow stays on host, the math lives here.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
