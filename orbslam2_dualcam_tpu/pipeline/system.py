@@ -101,8 +101,10 @@ class System:
     # ------------------------------------------------------------------
     def track(self, images: np.ndarray, timestamp: float) -> str:
         """Per-frame entry (System::TrackDual, System.cc:153-180).
-        images: [ncam, H, W] uint8/float grayscale."""
-        images = np.asarray(images, np.float32)
+        images: [ncam, H, W] uint8/float grayscale (uint8 preferred —
+        it uploads 4x fewer bytes; float inputs are quantized to u8 at
+        the device boundary either way, Tracker._stage_images)."""
+        images = np.asarray(images)
         import time as _time
         t0 = _time.monotonic()
         try:
