@@ -46,19 +46,22 @@ def main():
         os.path.abspath(__file__))))
     import jax.numpy as jnp
 
-    from orbslam2_dualcam_tpu.ops.orb import (_steered_sampling_matrices,
-                                              brief_pattern)
+    from orbslam2_dualcam_tpu.ops.orb import _steered_sampling_indices
 
     N = 1300
     radius = 19
     size = 2 * radius + 1
     PP = size * size
     n_bins, Q = 30, 512
-    S3 = _steered_sampling_matrices(0, 31)
-    S2 = jnp.asarray(np.transpose(S3, (1, 0, 2)).reshape(PP, n_bins * Q))
     # integer gather index table: idx[b, q] = flat patch index of sample q
-    idx_np = np.argmax(S3, axis=1).astype(np.int32)          # (30, 512)
+    idx_np = _steered_sampling_indices(0, 31)                # (30, 512)
     idx_all = jnp.asarray(idx_np)
+    # one-hot matmul formulation rebuilt from the indices (the historical
+    # variant this benchmark compares against; see orb.py history note)
+    S3 = np.zeros((n_bins, PP, Q), np.float32)
+    for b in range(n_bins):
+        S3[b, idx_np[b], np.arange(Q)] = 1.0
+    S2 = jnp.asarray(np.transpose(S3, (1, 0, 2)).reshape(PP, n_bins * Q))
 
     rng = np.random.default_rng(0)
     flat = jnp.asarray(rng.uniform(0, 255, (N, PP)).astype(np.float32))
