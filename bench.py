@@ -247,13 +247,16 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     if len(times) <= warmup + 5:
         warmup = max(0, len(times) - 6)
     tail = np.asarray(times[warmup:])
-    med = float(np.median(tail))
+    # MEAN-based fps: in batched deferred mode most track() calls just
+    # buffer (sub-ms) and every pipeline_depth-th call pays the batch,
+    # so the median reads near zero while the mean is the true rate
+    med = float(tail.mean())
     prof = {k: round(float(np.median(v[warmup // 2:])) * 1e3, 2)
             for k, v in sys_.tracker.timer.samples.items()
             if len(v) > warmup // 2}
     return {
         "e2e_system_fps": round(1.0 / max(med, 1e-9), 2),
-        "e2e_median_ms": round(med * 1e3, 2),
+        "e2e_mean_ms": round(med * 1e3, 2),
         "e2e_p90_ms": round(float(np.percentile(tail, 90)) * 1e3, 2),
         "e2e_frames": len(tail),
         "e2e_stage_ms_per_frame": prof,

@@ -92,6 +92,15 @@ class System:
         self.tracker = Tracker(cfg, self.rig, voc, self.map, self.kfdb,
                                local_mapper=front, mesh=mesh,
                                deferred=deferred_tracking)
+        if async_mapping and self.tracker.deferred:
+            # the tracker takes the lock itself, only around map-touching
+            # sections, so the mapper thread runs during device waits
+            self.tracker.map_lock = self.map_lock
+        if async_mapping:
+            # KF back-pressure (the reference's LocalMapping idle check):
+            # with >=2 keyframes queued, defer further insertions
+            self.tracker.mapper_busy = \
+                lambda: self._kf_queue.qsize() >= 2
         self.viewer = None
         if viewer:
             from orbslam2_dualcam_tpu.viz.live import LiveViewer
@@ -108,10 +117,12 @@ class System:
         import time as _time
         t0 = _time.monotonic()
         try:
-            if self._async:
+            if self._async and not self.tracker.deferred:
                 with self.map_lock:
                     state = self.tracker.process(images, timestamp)
             else:
+                # deferred mode: the tracker holds the lock only around
+                # its map-touching host sections (Tracker._lock)
                 state = self.tracker.process(images, timestamp)
             return state
         finally:

@@ -186,6 +186,20 @@ class Tracker:
         # round trip (SURVEY §5: the host reads results asynchronously a
         # frame behind, the TPU analog of the reference's thread overlap)
         self.deferred = deferred and self._track_fused is not None
+        # in async+deferred mode the System hands us its map lock and we
+        # take it ONLY around map-touching host sections — the long
+        # batched device_get runs unlocked so the mapping thread works
+        # during the wait (the reference's LocalMapping-thread overlap,
+        # System.cc:126; holding the lock through the wait starves the
+        # mapper, the map stops growing, and tracking walks off the
+        # mapped region — measured collapse at ~20 frames)
+        self.map_lock = None
+        # async back-pressure: when the mapping thread is behind, defer
+        # keyframe insertion instead of queueing unboundedly (the
+        # reference's idle check, Tracking.cc:1553-1560: mbLocalMappingIdle
+        # gates mCurrentFrame insertion; a saturated mapper otherwise
+        # falls arbitrarily far behind the live map)
+        self.mapper_busy: Optional[Callable[[], bool]] = None
         self._pending = None    # in-flight dispatch (lag-1 or batch form)
         self._carry = None      # (T_dev, V_dev, slots_dev)
         self._batch: List[Tuple] = []   # buffered (u8 images, ts, fid)
@@ -265,7 +279,13 @@ class Tracker:
             r = self._process_deferred(images, timestamp)
             if r is not None:
                 return r
-        return self._process_sync(images, timestamp)
+        with self._lock():
+            return self._process_sync(images, timestamp)
+
+    def _lock(self):
+        import contextlib
+        return (self.map_lock if self.map_lock is not None
+                else contextlib.nullcontext())
 
     def _process_sync(self, images: np.ndarray, timestamp: float,
                       fid: Optional[int] = None) -> str:
@@ -395,37 +415,44 @@ class Tracker:
         """Dispatch frame k with device-resident carries (pose, velocity,
         previous matched slots), then read & process frame k-1 while k
         computes.  Returns the state as of the last processed frame, or
-        None to fall back to the synchronous path (pipeline drained)."""
-        eligible = (self.state in (self.OK, self.FULL)
-                    and not self._force_lost)
-        if eligible and self._carry is None:
-            # pipeline start: seed carries from the last processed frame
-            last = self.last
-            if (last is None or last.T_cw is None or last.mp_ids is None
-                    or int((last.mp_ids >= 0).sum()) < 10):
-                eligible = False
-            else:
-                self._refresh_store(last, sticky=True)
-                st = self._store
-                if st is None or st.n_valid < 10:
+        None to fall back to the synchronous path (pipeline drained).
+
+        Map-touching sections run under self._lock(); the batched
+        device_get in _process_pending runs UNLOCKED so the mapping
+        thread overlaps with the device wait."""
+        with self._lock():
+            eligible = (self.state in (self.OK, self.FULL)
+                        and not self._force_lost)
+            if eligible and self._carry is None:
+                # pipeline start: seed carries from the last processed
+                # frame
+                last = self.last
+                if (last is None or last.T_cw is None
+                        or last.mp_ids is None
+                        or int((last.mp_ids >= 0).sum()) < 10):
                     eligible = False
                 else:
-                    V = (self.velocity if self.velocity is not None
-                         else np.eye(4))
-                    # canonical [ncam, n_track] slot layout regardless of
-                    # the seed frame's feature budget (init frames carry
-                    # 2x features; the scan carry type must be fixed)
-                    sl = st.slots_of_mids(last.mp_ids).astype(np.int32)
-                    sl = sl[sl >= 0]
-                    seed = np.full(
-                        (self.cfg.n_cameras, self.cfg.orb.n_track), -1,
-                        np.int32)
-                    seed.reshape(-1)[:sl.size] = sl[
-                        :seed.size]
-                    self._carry = (
-                        jnp.asarray(last.T_cw.astype(np.float32)),
-                        jnp.asarray(V.astype(np.float32)),
-                        jnp.asarray(seed))
+                    self._refresh_store(last, sticky=True)
+                    st = self._store
+                    if st is None or st.n_valid < 10:
+                        eligible = False
+                    else:
+                        V = (self.velocity if self.velocity is not None
+                             else np.eye(4))
+                        # canonical [ncam, n_track] slot layout regardless
+                        # of the seed frame's feature budget (init frames
+                        # carry 2x features; the scan carry type must be
+                        # fixed)
+                        sl = st.slots_of_mids(last.mp_ids).astype(np.int32)
+                        sl = sl[sl >= 0]
+                        seed = np.full(
+                            (self.cfg.n_cameras, self.cfg.orb.n_track),
+                            -1, np.int32)
+                        seed.reshape(-1)[:sl.size] = sl[:seed.size]
+                        self._carry = (
+                            jnp.asarray(last.T_cw.astype(np.float32)),
+                            jnp.asarray(V.astype(np.float32)),
+                            jnp.asarray(seed))
         if not eligible or self._store is None:
             self._drain_pending()
             return None
@@ -486,21 +513,23 @@ class Tracker:
                  jax.tree_util.tree_map(lambda a: a[d], outs_h), ts, fid)
                 for d, (ts, fid) in enumerate(metas)]
 
-        for i, (fd_h, out_h, ts, fid) in enumerate(items):
-            clean = self._process_one(fd_h, out_h, ts, fid, slot_mids)
-            if not clean:
-                # later frames of this batch were computed with a carry
-                # this frame's processing just invalidated (failure or a
-                # cascade-recovered pose): drop them + the in-flight batch
-                for _, _, _, fid2 in items[i + 1:]:
-                    self.events.append(f"DROPFRAME@{fid2}")
+        with self._lock():
+            for i, (fd_h, out_h, ts, fid) in enumerate(items):
+                clean = self._process_one(fd_h, out_h, ts, fid, slot_mids)
+                if not clean:
+                    # later frames of this batch were computed with a
+                    # carry this frame's processing just invalidated
+                    # (failure or a cascade-recovered pose): drop them +
+                    # the in-flight batch
+                    for _, _, _, fid2 in items[i + 1:]:
+                        self.events.append(f"DROPFRAME@{fid2}")
+                    self._abort_pipeline()
+                    return self.state
+            # repack (sticky) so the NEXT dispatch sees this batch's map
+            # updates (new KFs / points / local BA)
+            self._refresh_store(self.last, sticky=True)
+            if self._store is None or self._store.n_valid < 10:
                 self._abort_pipeline()
-                return self.state
-        # repack (sticky) so the NEXT dispatch sees this batch's map
-        # updates (new KFs / points / local BA)
-        self._refresh_store(self.last, sticky=True)
-        if self._store is None or self._store.n_valid < 10:
-            self._abort_pipeline()
         return self.state
 
     def _process_one(self, fd_h, out_h, ts: float, fid: int,
@@ -510,11 +539,17 @@ class Tracker:
         the device carry chain remains valid)."""
         frame = self._pull(fd_h, ts, frame_id=fid)
         n1 = int(out_h.n_stage1)
+        n_final = int(out_h.n_final)
         if n1 < self.cfg.tracker.min_matches_motion:
-            self.events.append(
-                f"THIN@{fid} n1={n1} nf={int(out_h.n_final)}")
+            self.events.append(f"THIN@{fid} n1={n1} nf={n_final}")
         with self.timer("track"):
-            ok = (n1 >= self.cfg.tracker.min_matches_motion
+            # accept on a healthy stage-1 OR a stage-2 rescue: the local-
+            # map rematch re-optimized against the FULL store, so a thin
+            # motion-model start with a solid final count is a good frame
+            # (the sync cascade would accept the same evidence); only a
+            # thin FINAL count falls back to the host cascade
+            ok = ((n1 >= self.cfg.tracker.min_matches_motion
+                   or n_final >= self.cfg.tracker.min_matches_motion)
                   and self._finish_fused(frame, out_h, slot_mids))
             if not ok and self.state in (self.OK, self.FULL):
                 # host fallback cascade on the materialized frame before
@@ -558,7 +593,8 @@ class Tracker:
         buffered, self._batch = self._batch, []
         self._carry = None
         for img, ts, fid in buffered:
-            self._process_sync(img, ts, fid=fid)
+            with self._lock():
+                self._process_sync(img, ts, fid=fid)
 
     @staticmethod
     def _to_u8(images: np.ndarray) -> np.ndarray:
@@ -772,7 +808,8 @@ class Tracker:
         cfg = self.cfg
         if fused is not None:
             out, slot_mids = fused
-            if int(out.n_stage1) >= cfg.tracker.min_matches_motion:
+            if (int(out.n_stage1) >= cfg.tracker.min_matches_motion
+                    or int(out.n_final) >= cfg.tracker.min_matches_motion):
                 return self._finish_fused(frame, out, slot_mids)
             # thin motion-model result: fall through to the host-stepped
             # fallback cascade below (rare; the fused stage-1 work is
@@ -1078,6 +1115,10 @@ class Tracker:
                 return False
         ref = self.map.keyframes.get(self.ref_kid)
         if ref is None:
+            return False
+        since_busy = frame.frame_id - self.last_kf_frame_id
+        if (self.mapper_busy is not None and self.mapper_busy()
+                and since_busy < cfg.tracker.max_frames_between_kf):
             return False
         # reference tracked-point count (KeyFrame::TrackedMapPoints with
         # minObs 3, or 2 while the map has <=2 KFs — Tracking.cc:1541-1545)
