@@ -87,12 +87,51 @@ def main():
         return out.T_cw
     t_full = chain_time(full_step, jnp.eye(4), frames)
 
-    # ---- extraction (both cameras)
-    def ex_step(c, img):
-        f = orb.extract_orb_rig(img + c[0, 0], cfg.orb, n_feats)
-        return (jnp.sum(f.uv) + jnp.sum(f.desc.astype(jnp.float32)) +
-                jnp.sum(f.angle))[None, None] * 1e-9 + c * 0
-    t_ex = chain_time(ex_step, jnp.zeros((1, 1)), frames)
+    # ---- stage times by VARIANT DIFFERENCING of the full program:
+    # standalone micro-programs measure pathologically on this backend
+    # (an extract-only chain times 50x its in-context cost), so each
+    # stage's time = full program minus the program with that stage
+    # removed — every measurement is a big, consistently-scheduled
+    # program.
+    from orbslam2_dualcam_tpu.pipeline.frontend import _extract_frame_body
+    from orbslam2_dualcam_tpu.ops import matching as _matching
+    from orbslam2_dualcam_tpu.vocab import bow as _bow
+
+    lvl = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+
+    def _variant(n_match_stages, with_quant):
+        import dataclasses
+        vcfg = cfg
+        voc = None
+        if with_quant:
+            _rng = np.random.default_rng(1)
+            voc = _bow.train_vocabulary(
+                _rng.integers(0, 2 ** 32, (20000, 8), dtype=np.uint32),
+                branching=10, depth=3, seed=1)
+
+        @jax.jit
+        def step(T, img):
+            fd = _extract_frame_body(img, vcfg, n_feats, voc, rig)
+            f = fd.feats
+            acc = (jnp.sum(f.uv) + jnp.sum(f.desc.astype(jnp.float32)) +
+                   jnp.sum(fd.words)) * 1e-12
+            Tc = T
+            for _ in range(n_match_stages):
+                r = frontend.match_projection_pose(
+                    Tc, f.uv, f.desc, f.level, f.angle, f.valid, mp_pos,
+                    mp_desc, mp_valid, mp_max, mp_min, mp_nrm, rig,
+                    jnp.float32(15.0), lvl, jnp.float32(100.0),
+                    jnp.float32(0.5), cam_on)
+                Tc = r.T_cw
+            return Tc + acc
+        return step
+
+    u8frames = [f.astype(jnp.uint8) for f in frames]
+    t_e0 = chain_time(_variant(0, False), jnp.eye(4), u8frames)
+    t_eq = chain_time(_variant(0, True), jnp.eye(4), u8frames)
+    t_m1 = chain_time(_variant(1, True), jnp.eye(4), u8frames)
+    t_m2 = chain_time(_variant(2, True), jnp.eye(4), u8frames)
+    t_ex = t_e0
 
     # analytic: pyramid+blur resize/blur banded matmuls per level/cam
     fl_pyr = 0
@@ -118,52 +157,20 @@ def main():
     fl_brief = 2 * ncam * n_feats * P2 * BQ
     by_brief = ncam * n_feats * P2 * 4 + P2 * BQ * 4
 
-    def brief_step(c, img):
-        blur = gaussian_blur7(img[0] + c[0, 0])
-        yx = jnp.stack([jnp.linspace(30, H - 30, n_feats),
-                        jnp.linspace(30, W - 30, n_feats)], -1)
-        ang = jnp.linspace(0, 6.2, n_feats)
-        d = orb.brief_descriptors_matmul(blur, yx, ang,
-                                         cfg.orb.brief_seed)
-        return jnp.sum(d.astype(jnp.float32))[None, None] * 1e-9 + c * 0
-    t_brief1 = chain_time(brief_step, jnp.zeros((1, 1)), frames)
-
-    # ---- matching: the masked Hamming matmul [M, 256] x [256, N] bf16
-    fa = jnp.asarray(rng.integers(0, 2 ** 32, (M, 8), dtype=np.uint32))
-    fb = jnp.asarray(rng.integers(0, 2 ** 32, (n_feats, 8),
-                                  dtype=np.uint32))
-
-    def ham_step(c, img):
-        D = matching.hamming_matrix(fa, fb)
-        return jnp.sum(D)[None, None] * 1e-9 + c * 0 + img[0, 0, 0] * 0
-    t_ham = chain_time(ham_step, jnp.zeros((1, 1)), frames)
     fl_ham = 2 * M * n_feats * 256
     by_ham = (M + n_feats) * 256 * 2 + M * n_feats * 4
 
-    # ---- match+poseopt (2 cams, full stage)
-    fuv = jnp.asarray(rng.uniform(0, 480, (ncam, n_feats, 2))
-                      .astype(np.float32))
-    flev = jnp.zeros((ncam, n_feats), jnp.int32)
-    fang = jnp.zeros((ncam, n_feats), jnp.float32)
-    fval = jnp.ones((ncam, n_feats), bool)
-    lvl = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
-
-    def mp_step(c, img):
-        r = frontend.match_projection_pose(
-            c, fuv, jnp.stack([fb, fb]), flev, fang, fval, mp_pos, mp_desc,
-            mp_valid, mp_max, mp_min, mp_nrm, rig, jnp.float32(15.0), lvl,
-            jnp.float32(100.0), jnp.float32(0.5), cam_on)
-        return r.T_cw + img[0, 0, 0] * 0
-    t_mp = chain_time(mp_step, jnp.eye(4), frames)
-
     add("fused track step (all)", t_full, None, None)
-    add("  extract x2 cams", t_ex, fl_pyr + fl_brief, by_pyr + by_fast)
+    add("  extract x2 cams (no quant)", t_ex, fl_pyr + fl_brief,
+        by_pyr + by_fast)
     add("    pyramid+blur (analytic)", None, fl_pyr, by_pyr)
     add("    FAST+NMS (analytic)", None, 0, by_fast)
-    add("    BRIEF matmul x1cam (meas)", t_brief1, fl_brief // 2,
-        by_brief // 2)
-    add("  match+poseopt stage", t_mp, 2 * fl_ham + 8e6, 2 * by_ham)
-    add("    hamming [2048x1300] bf16", t_ham, fl_ham, by_ham)
+    add("    BRIEF (analytic, both cams)", None, fl_brief, by_brief)
+    add("  BoW quantize (diff)", t_eq - t_e0, None, None)
+    add("  match+poseopt stage 1 (diff)", t_m1 - t_eq,
+        2 * fl_ham + 8e6, 2 * by_ham)
+    add("  match+poseopt stage 2 (diff)", t_m2 - t_m1,
+        2 * fl_ham + 8e6, 2 * by_ham)
 
     backend = jax.devices()[0].platform
     print(f"backend={backend}; peaks: bf16 {PEAK_BF16/1e12:.0f} TF/s, "
