@@ -226,6 +226,9 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     # deferred tracking (one dispatch + one readback per pipeline_depth
     # frames) and the mapper on its own thread (the reference's
     # LocalMapping thread, System.cc:126)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, tracker=dataclasses.replace(cfg.tracker, images_u8=True))
     sys_ = System(cfg, voc=voc, enable_loop_closing=False,
                   async_mapping=True, deferred_tracking=True)
     frames = [np.clip(np.round(synthetic.render_rig(

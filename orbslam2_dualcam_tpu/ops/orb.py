@@ -349,7 +349,8 @@ def _steered_sampling_indices(seed: int, patch_size: int = 31,
 
 def brief_descriptors_matmul(img_blur: jax.Array, yx: jax.Array,
                              angles: jax.Array, seed: int,
-                             patch_size: int = 31) -> jax.Array:
+                             patch_size: int = 31,
+                             bf16: bool = False) -> jax.Array:
     """Steered BRIEF-256 via patch gather + per-bin index lookup.
 
     The ORB paper discretizes the steering angle to 2*pi/30; each bin's
@@ -380,10 +381,15 @@ def brief_descriptors_matmul(img_blur: jax.Array, yx: jax.Array,
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angles, two_pi) / two_pi * n_bins).astype(
         jnp.int32) % n_bins
-    # [PP, n_bins * 2*n_bits] one-hot sampling matrix, built on device
-    S2 = jax.nn.one_hot(idx, PP, dtype=flat.dtype,
-                        axis=0).reshape(PP, -1)
-    vals = jnp.dot(flat, S2, preferred_element_type=jnp.float32)
+    # [PP, n_bins * 2*n_bits] one-hot sampling matrix, built on device.
+    # bf16=True runs the product at the MXU's bf16 rate (~4x the f32
+    # rate on v5e): blurred intensities in [0,255] round to +-0.5 in the
+    # 8-bit mantissa, a perturbation BRIEF's pairwise comparisons are
+    # designed to tolerate (OrbConfig.brief_bf16; roofline follow-up #1)
+    mm_dtype = jnp.bfloat16 if bf16 else flat.dtype
+    S2 = jax.nn.one_hot(idx, PP, dtype=mm_dtype, axis=0).reshape(PP, -1)
+    vals = jnp.dot(flat.astype(mm_dtype), S2,
+                   preferred_element_type=jnp.float32)
     vals = vals.reshape(N, n_bins, idx.shape[1])
     v = jnp.take_along_axis(vals, bins[:, None, None], axis=1)[:, 0]
     n_bits = v.shape[-1] // 2
@@ -506,7 +512,7 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
         ang = ic_angles(im, yx, radius=(cfg.patch_size - 1) // 2)
         blur = gaussian_blur7(im)
         d = brief_descriptors_matmul(blur, yx, ang, brief_seed,
-                                     cfg.patch_size)
+                                     cfg.patch_size, bf16=cfg.brief_bf16)
         scale_l = cfg.scale_factor ** l
         # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
         # (plain xl*s injects a level-dependent ~0.4px systematic bias)

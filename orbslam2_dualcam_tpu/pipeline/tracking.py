@@ -596,18 +596,19 @@ class Tracker:
             with self._lock():
                 self._process_sync(img, ts, fid=fid)
 
-    @staticmethod
-    def _to_u8(images: np.ndarray) -> np.ndarray:
-        if images.dtype == np.uint8:
-            return images
+    def _to_u8(self, images: np.ndarray) -> np.ndarray:
+        if images.dtype == np.uint8 or not self.cfg.tracker.images_u8:
+            return images.astype(np.float32, copy=False) \
+                if images.dtype != np.uint8 else images
         return np.clip(np.round(images), 0, 255).astype(np.uint8)
 
     def _stage_images(self, images: np.ndarray) -> jnp.ndarray:
-        """Device-stage one frame's images as uint8.  The remote-tunnel
-        transport is bandwidth-bound (measured: 49ms per f32 2x640x480
-        dual frame vs 14ms as u8), and 8-bit grayscale is the reference's
-        native input domain anyway (GrabImageDual, Tracking.cc:236-269);
-        the extract program converts to f32 on device."""
+        """Device-stage one frame's images — as uint8 when
+        cfg.tracker.images_u8 (4x fewer bytes; the remote-tunnel
+        transport is bandwidth-bound: measured 49ms per f32 2x640x480
+        dual frame vs 14ms as u8, and 8-bit grayscale is the reference's
+        native input domain, GrabImageDual Tracking.cc:236-269); the
+        extract program converts to f32 on device either way."""
         return jnp.asarray(self._to_u8(images))
 
     def _refresh_store(self, frame: HostFrame, sticky: bool = False) -> bool:
@@ -808,8 +809,12 @@ class Tracker:
         cfg = self.cfg
         if fused is not None:
             out, slot_mids = fused
-            if (int(out.n_stage1) >= cfg.tracker.min_matches_motion
-                    or int(out.n_final) >= cfg.tracker.min_matches_motion):
+            # sync mode: only a healthy stage-1 accepts the fused result —
+            # on a thin motion-model the host cascade (ref-KF attempts,
+            # windowless BoW-role match) is affordable and measurably
+            # more accurate than a stage-2 rescue; the deferred path
+            # (_process_one) trades that accuracy for pipeline liveness
+            if int(out.n_stage1) >= cfg.tracker.min_matches_motion:
                 return self._finish_fused(frame, out, slot_mids)
             # thin motion-model result: fall through to the host-stepped
             # fallback cascade below (rare; the fused stage-1 work is

@@ -64,6 +64,9 @@ class OrbConfig:
     # generated from this seed (the reference embeds a learned 256-pair
     # table, bit_pattern_31_ at ORBextractor.cc:150; we train-free sample
     # the classic BRIEF gaussian pattern instead — see ops/orb.py)
+    brief_bf16: bool = False         # run the BRIEF sampling matmul in
+    # bf16 (~4x the f32 MXU rate on v5e; +-0.5 intensity rounding, which
+    # BRIEF's comparisons tolerate) — roofline follow-up #1, opt-in
     brief_learned: bool = False      # use the PUBLISHED learned ORB pattern
     # (ops/orb_pattern.py) so descriptors are distributed like OpenCV-ORB's
     # — required for sensible quantization against a pretrained ORBvoc
@@ -166,6 +169,11 @@ class TrackerConfig:
     # size of the device-resident local-map store — one size, one compile.
     fused_tracking: bool = True
     fused_cap: int = 2048
+    # upload frames as uint8 (4x fewer bytes — decisive on a
+    # bandwidth-bound remote transport; quantization measurably thins
+    # two-view init on small/low-texture fixtures, so float stays the
+    # default and the deployment/bench config opts in)
+    images_u8: bool = False
     # deferred-mode pipeline depth: frames per batched dispatch/readback
     # (lax.scan over the fused body).  Depth D divides the per-frame
     # round-trip + dispatch overhead by D at the price of bookkeeping
