@@ -242,11 +242,10 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
         times.append(time.time() - t0)
         # keep ~10s of slack for profile assembly + the merged print;
         # a truncated tail is a smaller sample, not a lost round
-        if _remaining() < 10 and len(times) > warmup + 5:
+        if _remaining() < 10:
             print(f"# e2e truncated at frame {k + 1}/{len(frames)} "
                   f"(budget)", file=sys.stderr, flush=True)
             break
-    sys_.shutdown()                                   # flush the pipeline
     if len(times) <= warmup + 5:
         warmup = max(0, len(times) - 6)
     tail = np.asarray(times[warmup:])
@@ -257,6 +256,13 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     prof = {k: round(float(np.median(v[warmup // 2:])) * 1e3, 2)
             for k, v in sys_.tracker.timer.samples.items()
             if len(v) > warmup // 2}
+    # flush the pipeline only if the budget allows: the mapper thread is a
+    # daemon, so skipping the join can never hang process exit, while a
+    # long drain here used to eat the merged-print slack (r4 pre-flight)
+    if _remaining() > 20:
+        sys_.shutdown()
+    else:
+        print("# e2e shutdown skipped (budget)", file=sys.stderr, flush=True)
     return {
         "e2e_system_fps": round(1.0 / max(med, 1e-9), 2),
         "e2e_mean_ms": round(med * 1e3, 2),

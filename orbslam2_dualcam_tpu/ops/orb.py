@@ -226,6 +226,11 @@ def subpixel_offsets(score: jax.Array, yx: jax.Array) -> jax.Array:
     dy/dx in [-0.6, 0.6]; 0 where the fit is invalid (flat/cliff/saddle).
     """
     p = _gather_patches(score, yx, 1)            # (N, 3, 3)
+    return _subpixel_from_patches(p)
+
+
+def _subpixel_from_patches(p: jax.Array) -> jax.Array:
+    """Closed-form 2-D quadratic peak fit on (N, 3, 3) neighbourhoods."""
     gy = 0.5 * (p[:, 2, 1] - p[:, 0, 1])
     gx = 0.5 * (p[:, 1, 2] - p[:, 1, 0])
     hyy = p[:, 2, 1] - 2.0 * p[:, 1, 1] + p[:, 0, 1]
@@ -257,6 +262,51 @@ def _gather_patches(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
     return jax.vmap(one)(start)
 
 
+def _patches_onehot(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
+    """Patch extraction on the MXU: (N, 2r+1, 2r+1) patches around integer
+    keypoints via two one-hot contractions (row select, then column
+    select) instead of a gather.
+
+    XLA lowers the vmapped-dynamic_slice patch gather to a per-keypoint
+    serial path on TPU — measured 6.1 ms for the IC-angle/sub-pixel
+    gathers plus most of the 4.3 ms BRIEF stage at 2x1300 keypoints
+    (examples/extract_profile.py); batching levels into one bigger gather
+    made it WORSE (17 ms), so the cost is per-element latency, not op
+    count.  The same one-hot-matmul trick that took steered BRIEF from
+    44.5 to 28.7 ms/frame applies to the patch fetch itself: row/col
+    one-hot matrices built on device turn the fetch into two dense
+    contractions the MXU executes at matmul rate (~77 GFLOP bf16 per
+    frame for all three patch sets — well under a millisecond of MXU
+    time).
+
+    bf16 note: one-hot rows have exactly one nonzero, so each output
+    element is a COPY of one image value — the only rounding is the
+    initial bf16 cast of the image (intensities in [0,255] round to
+    +-0.5), the perturbation the earlier brief_bf16 experiment measured
+    as descriptor-neutral.  Edge behavior matches _gather_patches
+    (edge-clamp padding)."""
+    p = jnp.pad(img, radius, mode='edge').astype(jnp.bfloat16)
+    Hp, Wp = p.shape
+    P = 2 * radius + 1
+    ry = yx[:, 0, None] + jnp.arange(P)            # [N, P] padded row ids
+    cx = yx[:, 1, None] + jnp.arange(P)
+    R = jax.nn.one_hot(ry, Hp, dtype=jnp.bfloat16)          # [N, P, Hp]
+    C = jax.nn.one_hot(cx, Wp, dtype=jnp.bfloat16)          # [N, P, Wp]
+    rows = jnp.einsum('krh,hw->krw', R, p,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum('krw,kcw->krc', rows.astype(jnp.bfloat16), C,
+                      preferred_element_type=jnp.float32)
+
+
+def _ic_from_patches(patches: jax.Array, radius: int) -> jax.Array:
+    """Intensity-centroid angle from pre-fetched (N, P, P) patches."""
+    xs_np, ys_np, _ = ic_angle_masks(radius)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    m10 = jnp.sum(patches * xs, axis=(1, 2))
+    m01 = jnp.sum(patches * ys, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 def ic_angles(img: jax.Array, yx: jax.Array, radius: int = 15) -> jax.Array:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77) for a
     batch of keypoints; returns angle in radians (N,).
@@ -264,12 +314,7 @@ def ic_angles(img: jax.Array, yx: jax.Array, radius: int = 15) -> jax.Array:
     (A dense-conv variant — moment maps via 31x31 cross-correlation — was
     tried and is 1.5x SLOWER end-to-end on this chip: single-channel 31x31
     convs don't map to the MXU.)"""
-    xs_np, ys_np, _ = ic_angle_masks(radius)
-    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
-    patches = _gather_patches(img, yx, radius)      # (N, P, P)
-    m10 = jnp.sum(patches * xs, axis=(1, 2))
-    m01 = jnp.sum(patches * ys, axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    return _ic_from_patches(_gather_patches(img, yx, radius), radius)
 
 
 @functools.lru_cache()
@@ -371,10 +416,14 @@ def brief_descriptors_matmul(img_blur: jax.Array, yx: jax.Array,
     remote-compile backend must serialize (measured: minutes of compile,
     22x run-to-run variance; on-device construction keeps the program at
     ~31 MB and compile at ~35 s)."""
-    radius = 19
+    patches = _gather_patches(img_blur, yx, 19)            # (N, P, P)
+    return _brief_from_patches(patches, angles, seed, patch_size, bf16)
+
+
+def _brief_from_patches(patches: jax.Array, angles: jax.Array, seed: int,
+                        patch_size: int, bf16: bool) -> jax.Array:
     n_bins = 30
     idx = jnp.asarray(_steered_sampling_indices(seed, patch_size))
-    patches = _gather_patches(img_blur, yx, radius)        # (N, P, P)
     N = patches.shape[0]
     PP = patches.shape[1] * patches.shape[2]
     flat = patches.reshape(N, -1)
@@ -484,9 +533,19 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
     budgets = _level_budget(n_out, n_levels, cfg.scale_factor)
     pyr = build_pyramid(img, n_levels, cfg.scale_factor)
 
-    uvs, lvls, angs, resps, descs = [], [], [], [], []
     brief_seed = -1 if cfg.brief_learned else cfg.brief_seed
-    use_pallas = cfg.pallas_fast and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = cfg.pallas_fast and on_tpu
+    # MXU one-hot patch fetch on TPU (see _patches_onehot); on CPU the
+    # plain gather is faster than materializing the one-hot matrices
+    fetch = _patches_onehot if on_tpu else _gather_patches
+    ic_radius = (cfg.patch_size - 1) // 2
+
+    # --- per level: dense FAST + NMS + spatial top-k, then the three
+    # patch fetches (raw for IC angle, SAD for sub-pixel, blurred for
+    # BRIEF) — collected and processed for all levels as one batch
+    yxs, lvls, resps = [], [], []
+    raw_ps, sad_ps, blur_ps = [], [], []
     for l, (im, budget) in enumerate(zip(pyr, budgets)):
         if budget == 0:
             continue
@@ -505,31 +564,37 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
             s = nms3x3(jnp.where(s > 0, s + 1e4, s_lo))
         yx, sc = select_keypoints(s, budget, cell=cfg.cell_size,
                                   border=cfg.edge_threshold)
-        # quadratic sub-pixel refinement on the dense (arc-ungated) SAD
-        # surface — the arc-gated score is zero on most neighbours, which
-        # starves the fit (measured: 97% of offsets rejected)
-        dyx = subpixel_offsets(sad_lo, yx)
-        ang = ic_angles(im, yx, radius=(cfg.patch_size - 1) // 2)
-        blur = gaussian_blur7(im)
-        d = brief_descriptors_matmul(blur, yx, ang, brief_seed,
-                                     cfg.patch_size, bf16=cfg.brief_bf16)
-        scale_l = cfg.scale_factor ** l
-        # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
-        # (plain xl*s injects a level-dependent ~0.4px systematic bias)
-        yx_f = yx.astype(jnp.float32) + dyx
-        uv = (yx_f[:, ::-1] + 0.5) * scale_l - 0.5
-        uvs.append(uv)
+        yxs.append(yx)
         lvls.append(jnp.full((budget,), l, jnp.int32))
-        angs.append(ang)
         resps.append(jnp.where(sc > 1e4, sc - 1e4, sc))
-        descs.append(d)
+        raw_ps.append(fetch(im, yx, ic_radius))
+        sad_ps.append(fetch(sad_lo, yx, 1))
+        blur_ps.append(fetch(gaussian_blur7(im), yx, 19))
 
-    uv = jnp.concatenate(uvs)
+    # --- sparse phase over the concatenated keypoint set: the S2 BRIEF
+    # sampling matmul runs ONCE per camera over all levels (it reads the
+    # ~46 MB sampling matrix from HBM once instead of once per level)
+    yx = jnp.concatenate(yxs)                          # [N, 2] level-local
+    lvl = jnp.concatenate(lvls)                        # [N] pyramid level
     resp = jnp.concatenate(resps)
+
+    # quadratic sub-pixel refinement on the dense (arc-ungated) SAD
+    # surface — the arc-gated score is zero on most neighbours, which
+    # starves the fit (measured: 97% of offsets rejected)
+    dyx = _subpixel_from_patches(jnp.concatenate(sad_ps))
+    ang = _ic_from_patches(jnp.concatenate(raw_ps), ic_radius)
+    desc = _brief_from_patches(jnp.concatenate(blur_ps), ang, brief_seed,
+                               cfg.patch_size, bf16=cfg.brief_bf16)
+
+    # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
+    # (plain xl*s injects a level-dependent ~0.4px systematic bias)
+    scales = jnp.asarray(cfg.scale_factor, jnp.float32) ** lvl.astype(
+        jnp.float32)
+    yx_f = yx.astype(jnp.float32) + dyx
+    uv = (yx_f[:, ::-1] + 0.5) * scales[:, None] - 0.5
     feats = Features(
-        uv=uv, uv_raw=uv, level=jnp.concatenate(lvls),
-        angle=jnp.concatenate(angs), response=resp,
-        desc=jnp.concatenate(descs), valid=resp > 0)
+        uv=uv, uv_raw=uv, level=lvl, angle=ang, response=resp,
+        desc=desc, valid=resp > 0)
     return feats
 
 

@@ -179,3 +179,19 @@ def test_subpixel_refinement_beats_integer_grid(rng):
     assert err_sub.mean() < 0.6 * err_int.mean(), (err_sub.mean(),
                                                    err_int.mean())
     assert err_sub.mean() < 0.15, err_sub.mean()
+
+
+def test_patches_onehot_matches_gather(rng):
+    """The TPU MXU patch fetch (_patches_onehot) must agree with the plain
+    gather path up to the bf16 image cast it documents (exact when the
+    image values are bf16-representable)."""
+    img = np.round(synth_image(rng, H=96, W=128))      # integers: exact bf16
+    yx = np.stack([rng.integers(0, 96, 40), rng.integers(0, 128, 40)],
+                  axis=-1).astype(np.int32)
+    for r in (1, 15, 19):
+        a = np.asarray(orb._patches_onehot(jnp.asarray(img),
+                                           jnp.asarray(yx), r))
+        b = np.asarray(orb._gather_patches(jnp.asarray(img),
+                                           jnp.asarray(yx), r))
+        assert a.shape == b.shape == (40, 2 * r + 1, 2 * r + 1)
+        np.testing.assert_array_equal(a, b), r
