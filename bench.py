@@ -197,9 +197,6 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     reference operating point and time the steady-state tail.  Every phase
     checks the remaining wall-clock budget; the frame loop truncates
     rather than run past it."""
-    import jax.numpy as jnp
-
-    from orbslam2_dualcam_tpu.ops import orb as orb_ops
     from orbslam2_dualcam_tpu.pipeline.system import System
     from orbslam2_dualcam_tpu.utils import synthetic
     from orbslam2_dualcam_tpu.vocab import bow
@@ -211,17 +208,22 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     sys_ = System(cfg, voc=None, enable_loop_closing=False)
     K = np.asarray(sys_.rig.K)
     T_sc = np.asarray(sys_.rig.T_sc)
-    # vocabulary from a sequence subsample so extraction includes the
-    # quantization step (Frame.cc:393-408)
-    descs = []
-    for T in poses[::15]:
-        img = synthetic.render(world, K[0], T, H=480, W=640)
-        f = orb_ops.extract_orb(jnp.asarray(img), cfg.orb, cfg.orb.n_track)
-        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = bow.train_vocabulary(np.concatenate(descs)[:20000], branching=8,
-                               depth=3, seed=7, weight_docs=descs)
+    # Vocabulary of the e2e tree shape, trained on random descriptors
+    # ENTIRELY on host.  Quantization cost in the frame loop depends only
+    # on the tree shape, not on what the vocabulary was trained on; the
+    # round-4 version trained from rendered frames, whose extract
+    # dispatches through the tunnel ate the whole budget before the frame
+    # loop ever started (BENCH_r04 "budget exhausted after vocabulary
+    # phase").  Tracking itself never consults the vocabulary content
+    # (stage 1/2 matching is descriptor-Hamming; BoW drives reloc and
+    # loop candidates, both off in this bench).
+    voc = bow.train_vocabulary(
+        rng.integers(0, 2 ** 32, (20000, 8), dtype=np.uint32),
+        branching=8, depth=3, seed=7)
     if _remaining() < 45:
         raise RuntimeError("budget exhausted after vocabulary phase")
+    print(f"# e2e: vocab ready, {_remaining():.0f}s left", file=sys.stderr,
+          flush=True)
     # deployment configuration for a remote-attached chip: batched
     # deferred tracking (one dispatch + one readback per pipeline_depth
     # frames) and the mapper on its own thread (the reference's
@@ -236,13 +238,18 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
         for T in poses]                               # host-side, untimed
 
     times = []
+    truncated_at = None
     for k, imgs in enumerate(frames):
         t0 = time.time()
         sys_.track(imgs, k / 30.0)
         times.append(time.time() - t0)
+        if k in (0, 2, 5, 10, 20, 40):      # compile/steady progress marks
+            print(f"# e2e: frame {k} done ({times[-1]:.1f}s), "
+                  f"{_remaining():.0f}s left", file=sys.stderr, flush=True)
         # keep ~10s of slack for profile assembly + the merged print;
         # a truncated tail is a smaller sample, not a lost round
         if _remaining() < 10:
+            truncated_at = k + 1
             print(f"# e2e truncated at frame {k + 1}/{len(frames)} "
                   f"(budget)", file=sys.stderr, flush=True)
             break
@@ -259,11 +266,12 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
     # flush the pipeline only if the budget allows: the mapper thread is a
     # daemon, so skipping the join can never hang process exit, while a
     # long drain here used to eat the merged-print slack (r4 pre-flight)
-    if _remaining() > 20:
+    shutdown_skipped = _remaining() <= 20
+    if not shutdown_skipped:
         sys_.shutdown()
     else:
         print("# e2e shutdown skipped (budget)", file=sys.stderr, flush=True)
-    return {
+    out = {
         "e2e_system_fps": round(1.0 / max(med, 1e-9), 2),
         "e2e_mean_ms": round(med * 1e3, 2),
         "e2e_p90_ms": round(float(np.percentile(tail, 90)) * 1e3, 2),
@@ -274,7 +282,22 @@ def bench_end_to_end(cfg, n_frames: int = 90, warmup: int = 20):
                     "u8 frames, live map/KF policy/BoW/local BA included "
                     "(SLAM_BENCH_E2E=0 to skip)",
     }
+    # self-describing measurement-coverage flags (round-4 advisor): a
+    # truncated frame loop or a skipped drain changes what the medians
+    # cover, so the JSON must say so itself, not just stderr
+    if truncated_at is not None:
+        out["e2e_truncated_at_frame"] = truncated_at
+    if shutdown_skipped:
+        out["e2e_shutdown_skipped"] = True
+    return out
 
 
 if __name__ == "__main__":
     main()
+    # hard exit: both JSON lines are flushed by now, and CPython teardown
+    # with the mapper daemon thread still mid-dispatch can segfault in the
+    # JAX runtime (measured rc=139 on the CPU smoke run) — the exit code
+    # must not smear an otherwise-successful bench
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

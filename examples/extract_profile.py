@@ -97,7 +97,7 @@ def main():
                 continue
             dyx = orb.subpixel_offsets(sad_lo, yx)
             ang = orb.ic_angles(im, yx, radius=(cfg.patch_size - 1) // 2)
-            acc += jnp.sum(ang) + jnp.sum(dyx) * 1e-9
+            acc += (jnp.sum(ang) + jnp.sum(dyx)) * 1e-9
             if stop == "angle":
                 continue
             d = orb.brief_descriptors_matmul(blur, yx, ang, brief_seed,

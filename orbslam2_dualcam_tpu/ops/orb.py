@@ -262,7 +262,8 @@ def _gather_patches(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
     return jax.vmap(one)(start)
 
 
-def _patches_onehot(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
+def _patches_onehot(img: jax.Array, yx: jax.Array, radius: int,
+                    dtype=jnp.bfloat16) -> jax.Array:
     """Patch extraction on the MXU: (N, 2r+1, 2r+1) patches around integer
     keypoints via two one-hot contractions (row select, then column
     select) instead of a gather.
@@ -279,22 +280,26 @@ def _patches_onehot(img: jax.Array, yx: jax.Array, radius: int) -> jax.Array:
     frame for all three patch sets — well under a millisecond of MXU
     time).
 
-    bf16 note: one-hot rows have exactly one nonzero, so each output
+    dtype note: one-hot rows have exactly one nonzero, so each output
     element is a COPY of one image value — the only rounding is the
-    initial bf16 cast of the image (intensities in [0,255] round to
-    +-0.5), the perturbation the earlier brief_bf16 experiment measured
-    as descriptor-neutral.  Edge behavior matches _gather_patches
-    (edge-clamp padding)."""
-    p = jnp.pad(img, radius, mode='edge').astype(jnp.bfloat16)
+    initial `dtype` cast of the surface.  For u8-derived images in
+    [0,255] the default bf16 rounds to +-0.5, which the brief_bf16
+    experiment measured as descriptor-neutral.  For NON-integer surfaces
+    (e.g. the SAD response fed to the cancellation-sensitive sub-pixel
+    quadratic fit, magnitude ~4000 where bf16 ulp is ~8) callers must
+    pass dtype=float32 — the copy is then exact (round-4 advisor
+    finding).  Edge behavior matches _gather_patches (edge-clamp
+    padding)."""
+    p = jnp.pad(img, radius, mode='edge').astype(dtype)
     Hp, Wp = p.shape
     P = 2 * radius + 1
     ry = yx[:, 0, None] + jnp.arange(P)            # [N, P] padded row ids
     cx = yx[:, 1, None] + jnp.arange(P)
-    R = jax.nn.one_hot(ry, Hp, dtype=jnp.bfloat16)          # [N, P, Hp]
-    C = jax.nn.one_hot(cx, Wp, dtype=jnp.bfloat16)          # [N, P, Wp]
+    R = jax.nn.one_hot(ry, Hp, dtype=dtype)                 # [N, P, Hp]
+    C = jax.nn.one_hot(cx, Wp, dtype=dtype)                 # [N, P, Wp]
     rows = jnp.einsum('krh,hw->krw', R, p,
                       preferred_element_type=jnp.float32)
-    return jnp.einsum('krw,kcw->krc', rows.astype(jnp.bfloat16), C,
+    return jnp.einsum('krw,kcw->krc', rows.astype(dtype), C,
                       preferred_element_type=jnp.float32)
 
 
@@ -568,7 +573,13 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
         lvls.append(jnp.full((budget,), l, jnp.int32))
         resps.append(jnp.where(sc > 1e4, sc - 1e4, sc))
         raw_ps.append(fetch(im, yx, ic_radius))
-        sad_ps.append(fetch(sad_lo, yx, 1))
+        # SAD surface is non-integer with magnitude ~4000 (bf16 ulp ~8
+        # there) and feeds a cancellation-sensitive quadratic fit: fetch
+        # in f32.  Only N x 9 elements — MXU cost negligible.
+        if fetch is _patches_onehot:
+            sad_ps.append(_patches_onehot(sad_lo, yx, 1, dtype=jnp.float32))
+        else:
+            sad_ps.append(fetch(sad_lo, yx, 1))
         blur_ps.append(fetch(gaussian_blur7(im), yx, 19))
 
     # --- sparse phase over the concatenated keypoint set: the S2 BRIEF
@@ -587,9 +598,11 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, n_out: int) -> Features:
                                cfg.patch_size, bf16=cfg.brief_bf16)
 
     # pixel-center convention of jax.image.resize: x0 = (xl+0.5)*s - 0.5
-    # (plain xl*s injects a level-dependent ~0.4px systematic bias)
-    scales = jnp.asarray(cfg.scale_factor, jnp.float32) ** lvl.astype(
-        jnp.float32)
+    # (plain xl*s injects a level-dependent ~0.4px systematic bias).
+    # Per-level scales come from a host-computed f64 table (rounded once
+    # to f32), not a traced f32 pow — the pow's extra rounding shifted
+    # every refined keypoint by ~1e-4 px vs the pre-batching code path
+    scales = jnp.asarray(cfg.scale_factors, jnp.float32)[lvl]
     yx_f = yx.astype(jnp.float32) + dyx
     uv = (yx_f[:, ::-1] + 0.5) * scales[:, None] - 0.5
     feats = Features(

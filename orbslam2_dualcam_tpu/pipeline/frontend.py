@@ -11,6 +11,7 @@ the control flow stays on host, the math lives here.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 from orbslam2_dualcam_tpu.ops import camera, lie, matching, orb
 from orbslam2_dualcam_tpu.ops.camera import CameraRig
 from orbslam2_dualcam_tpu.optim import pose_opt
-from orbslam2_dualcam_tpu.utils.config import SystemConfig
+from orbslam2_dualcam_tpu.utils.config import BAConfig, SystemConfig
 from orbslam2_dualcam_tpu.vocab import bow
 
 
@@ -177,7 +178,7 @@ def _make_track_body(cfg: SystemConfig, n_feats: int,
                 T_seed, f.uv, f.desc, f.level, f.angle, f.valid,
                 mp_pos, mp_desc, vmask, mp_max, mp_min, mp_norm,
                 rig, radius, level_scales, ham, jnp.float32(0.5),
-                cam_enabled)
+                cam_enabled, ba=cfg.ba)
 
         v1 = mp_valid & stage1_mask
         ra = stage(T_pred, v1, jnp.float32(15.0), th_high)
@@ -347,7 +348,7 @@ def project_and_match_batch(T_preds: jax.Array,
                          feats_valid)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("ba",))
 def match_projection_pose(T_pred: jax.Array,
                           feats_uv: jax.Array, feats_desc: jax.Array,
                           feats_level: jax.Array, feats_angle: jax.Array,
@@ -359,9 +360,12 @@ def match_projection_pose(T_pred: jax.Array,
                           level_scales: jax.Array,
                           max_hamming: jax.Array,
                           view_cos_th: jax.Array,
-                          cam_enabled: jax.Array | None = None) -> TrackResult:
+                          cam_enabled: jax.Array | None = None,
+                          ba: Optional[BAConfig] = None) -> TrackResult:
     """Projection matching + pose optimization — the TrackWithMotionModel /
-    TrackLocalMap hot path (Tracking.cc:1384-1520)."""
+    TrackLocalMap hot path (Tracking.cc:1384-1520).
+
+    `ba` (static) selects the LM budget; None = BAConfig() defaults."""
     ncam, N = feats_valid.shape
     mp_of_kp, mp_vis = project_and_match(
         T_pred, feats_uv, feats_desc, feats_level, feats_valid,
@@ -380,7 +384,8 @@ def match_projection_pose(T_pred: jax.Array,
     T_opt, inl, n = pose_opt.optimize_pose(
         T_pred, X.reshape(-1, 3), uv.reshape(-1, 2), cam_e.reshape(-1),
         inv_sigma2.reshape(-1), matched.reshape(-1),
-        rig.T_sc, rig.adj_sc, rig.K)
+        rig.T_sc, rig.adj_sc, rig.K,
+        cfg=BAConfig() if ba is None else ba)
     mp_final = jnp.where(inl.reshape(ncam, N), mp_of_kp, -1)
     return TrackResult(T_cw=T_opt, mp_ids=mp_final, n_inliers=n,
                        mp_visible=mp_vis)

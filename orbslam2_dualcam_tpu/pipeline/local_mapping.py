@@ -369,7 +369,7 @@ class LocalMapper:
                     jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
                     self.rig, jnp.float32(radius), self._level_scales,
                     jnp.float32(cfg.matcher.th_high), jnp.float32(0.5),
-                    jnp.asarray(cam_en))
+                    jnp.asarray(cam_en), ba=cfg.ba)
                 T_cur = np.asarray(r2.T_cw, np.float64)
             n_good = int(r2.n_inliers)
             if n_good < mc.cross_min_good:

@@ -519,18 +519,41 @@ class Tracker:
                 if not clean:
                     # later frames of this batch were computed with a
                     # carry this frame's processing just invalidated
-                    # (failure or a cascade-recovered pose): drop them +
-                    # the in-flight batch
-                    for _, _, _, fid2 in items[i + 1:]:
-                        self.events.append(f"DROPFRAME@{fid2}")
-                    self._abort_pipeline()
+                    # (failure or a cascade-recovered pose).  Their fused
+                    # poses are garbage, but their EXTRACTION (fd) never
+                    # depended on the carry — re-track each through the
+                    # host cascade instead of dropping it, so the
+                    # trajectory stays complete across pipeline aborts
+                    for fd2, _, ts2, fid2 in items[i + 1:]:
+                        self.events.append(f"RESCUE@{fid2}")
+                        self._host_reprocess(fd2, ts2, fid2)
+                    self._abort_pipeline(rescue=True)
                     return self.state
             # repack (sticky) so the NEXT dispatch sees this batch's map
             # updates (new KFs / points / local BA)
             self._refresh_store(self.last, sticky=True)
             if self._store is None or self._store.n_valid < 10:
-                self._abort_pipeline()
+                self._abort_pipeline(rescue=True)
         return self.state
+
+    def _host_reprocess(self, fd_h, ts: float, fid: int) -> None:
+        """Track one already-extracted frame through the host cascade
+        (used when a deferred batch's device carry chain is invalid:
+        extraction is carry-independent, so the frame is still fully
+        recoverable)."""
+        frame = self._pull(fd_h, ts, frame_id=fid)
+        ok = False
+        if self.state in (self.OK, self.FULL):
+            with self.timer("track"):
+                ok = self._track(frame)
+        if not ok:
+            self.state = self.LOST
+            self.events.append(f"LOST@{frame.frame_id}")
+            if self._relocalize(frame):
+                self.state = self.OK
+                self.events.append(f"RELOC@{frame.frame_id}")
+        self._record_trajectory(frame, ts)
+        self.last = frame
 
     def _process_one(self, fd_h, out_h, ts: float, fid: int,
                      slot_mids: np.ndarray) -> bool:
@@ -573,16 +596,34 @@ class Tracker:
         self._drain_pending()
         return self.state
 
-    def _abort_pipeline(self) -> None:
-        """Discard the in-flight dispatch (its carry chain is invalid)."""
-        if self._pending is not None:
-            if self._pending[0] == "one":
-                self.events.append(f"DROPFRAME@{self._pending[4]}")
-            else:
-                for _, fid in self._pending[3]:
-                    self.events.append(f"DROPFRAME@{fid}")
-        self._pending = None
+    def _abort_pipeline(self, rescue: bool = False) -> None:
+        """Invalidate the in-flight dispatch's carry chain.  With
+        rescue=True the in-flight frames are read back and re-tracked
+        through the host cascade (their extraction is carry-independent);
+        otherwise they are dropped with a visible DROPFRAME event."""
+        pending, self._pending = self._pending, None
         self._carry = None
+        if pending is None:
+            return
+        if not rescue:
+            if pending[0] == "one":
+                self.events.append(f"DROPFRAME@{pending[4]}")
+            else:
+                for _, fid in pending[3]:
+                    self.events.append(f"DROPFRAME@{fid}")
+            return
+        if pending[0] == "one":
+            _, fd, _, ts, fid, _ = pending
+            fd_h = jax.device_get(fd)
+            self.events.append(f"RESCUE@{fid}")
+            self._host_reprocess(fd_h, ts, fid)
+        else:
+            _, fds, _, metas, _ = pending
+            fds_h = jax.device_get(fds)
+            for d, (ts, fid) in enumerate(metas):
+                self.events.append(f"RESCUE@{fid}")
+                self._host_reprocess(
+                    jax.tree_util.tree_map(lambda a: a[d], fds_h), ts, fid)
 
     def _drain_pending(self) -> None:
         """Process any in-flight + buffered frames before leaving the
@@ -1035,7 +1076,8 @@ class Tracker:
             jnp.asarray(dmax), jnp.asarray(dmin), jnp.asarray(normal),
             self.rig, jnp.float32(radius), self._level_scales,
             jnp.float32(max_hamming), jnp.float32(0.5),
-            self._cam_enabled() if cam_enabled is None else cam_enabled)
+            self._cam_enabled() if cam_enabled is None else cam_enabled,
+            ba=self.cfg.ba)
         self._last_slot_mids = mids
         return res
 

@@ -124,8 +124,17 @@ class BAConfig:
     chi2_mono: float = 5.991         # 2-DoF 95% chi-square gate
     chi2_sim3: float = 9.210         # Sim3 gate (Sim3Solver.cc:105)
     huber_delta: float = 5.991 ** 0.5
-    pose_rounds: int = 4             # PoseOptimization: 4 rounds ...
-    pose_iters: int = 10             # ... of 10 LM iterations (Optimizer.cc:352-354)
+    # PoseOptimization: the reference runs 4 rounds x 10 g2o-LM iterations
+    # (Optimizer.cc:352-354).  On TPU the motion-only optimizer is
+    # serial-latency-bound (~all of its cost is the sequential LM loop,
+    # RESULTS.md roofline), and 4x5 measures BETTER than 4x10 on the
+    # noisy-outlier pose fixture (examples/profile_poseopt.py: t_err
+    # 0.0052 vs 0.0102 at half the iterations — the between-round
+    # chi-square re-classification with a fresh lambda restart does more
+    # work than deep LM convergence against a stale inlier set), so the
+    # TPU-native default halves the serial depth instead of copying g2o's.
+    pose_rounds: int = 4
+    pose_iters: int = 5
     local_iters_a: int = 5           # LocalBA first pass (Optimizer.cc:587)
     local_iters_b: int = 10          # LocalBA second pass (Optimizer.cc:619)
     global_iters: int = 20           # GBA (Tracking.cc:2058 uses 20; loop GBA 10)

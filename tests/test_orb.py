@@ -194,4 +194,24 @@ def test_patches_onehot_matches_gather(rng):
         b = np.asarray(orb._gather_patches(jnp.asarray(img),
                                            jnp.asarray(yx), r))
         assert a.shape == b.shape == (40, 2 * r + 1, 2 * r + 1)
-        np.testing.assert_array_equal(a, b), r
+        np.testing.assert_array_equal(a, b, err_msg=f"radius={r}")
+
+
+def test_patches_onehot_f32_exact_on_noninteger_surface(rng):
+    """The f32 one-hot fetch used for the SAD sub-pixel surface must be
+    EXACT on non-integer floats (the bf16 default would round: magnitude
+    ~4000 has bf16 ulp ~8 — round-4 advisor finding)."""
+    surf = (synth_image(rng, H=96, W=128) * 16.0
+            + rng.uniform(0, 1, (96, 128))).astype(np.float32)
+    yx = np.stack([rng.integers(0, 96, 40), rng.integers(0, 128, 40)],
+                  axis=-1).astype(np.int32)
+    a = np.asarray(orb._patches_onehot(jnp.asarray(surf), jnp.asarray(yx),
+                                       1, dtype=jnp.float32))
+    b = np.asarray(orb._gather_patches(jnp.asarray(surf), jnp.asarray(yx),
+                                       1))
+    np.testing.assert_array_equal(a, b)
+    # and confirm the bf16 default WOULD diverge on this surface (the
+    # property the f32 path exists to avoid)
+    c = np.asarray(orb._patches_onehot(jnp.asarray(surf), jnp.asarray(yx),
+                                       1, dtype=jnp.bfloat16))
+    assert np.abs(c - b).max() > 0.0
