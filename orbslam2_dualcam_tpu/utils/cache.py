@@ -11,15 +11,30 @@ import os
 
 
 def machine_key() -> str:
+    """Key the cache dir by host identity, not just the cpuinfo flags.
+
+    Round-5 postmortem: two VM instances shared an identical
+    /proc/cpuinfo flags line while XLA chose different target features
+    (+prefer-no-gather/…), so the flags-only key COLLIDED and loading the
+    other host's AOT executables crashed pytest workers with SIGILL.
+    Hostname + jaxlib version makes the key per-VM: each fresh VM starts
+    cold (correctness over warmth — the cache's value is within-session)."""
+    import platform
+    parts = [platform.node(), platform.processor()]
+    try:
+        import jaxlib
+        parts.append(getattr(jaxlib, "__version__", ""))
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                    parts.append(line)
+                    break
     except OSError:
         pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def setup_compile_cache(root: str, min_compile_secs: float = 0.5) -> str:
