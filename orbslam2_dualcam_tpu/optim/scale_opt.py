@@ -37,7 +37,7 @@ from orbslam2_dualcam_tpu.models.map import Map
 def _bucket(n: int, lo: int = 256) -> int:
     b = lo
     while b < n:
-        b *= 2
+        b *= 4  # coarse buckets: each distinct shape is a compile (ba_pack)
     return b
 
 

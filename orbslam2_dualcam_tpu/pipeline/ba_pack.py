@@ -17,9 +17,16 @@ from orbslam2_dualcam_tpu.optim.factors import Edges
 
 
 def _bucket(n: int, lo: int = 256) -> int:
+    # x4 growth, not x2: every distinct (K, M, E) triple is a separate XLA
+    # compile, and through a remote-compile tunnel each compile costs
+    # minutes (RESULTS.md round-5 e2e postmortem).  The padded matvec is
+    # linear in the bucket, so the worst-case 4x compute on a ~ms-scale op
+    # is noise next to the compile it avoids — and fewer buckets also make
+    # persistent-cache hits robust to timing-dependent window sizes under
+    # the async mapper.
     b = lo
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 

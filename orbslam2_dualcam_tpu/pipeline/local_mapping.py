@@ -495,13 +495,15 @@ class LocalMapper:
 def pack_points(m: Map, cap: int, mids: List[int]):
     """Pack map points into padded device-shape arrays (slot i = mids[i]).
 
-    The padded size is the smallest power-of-two bucket >= len(mids)
+    The padded size is the smallest power-of-FOUR bucket >= len(mids)
     (min 256, max `cap`): the downstream Hamming matmul is linear in the
-    packed size, so padding a 600-point fuse set to a fixed 2048 would
-    triple its FLOPs for nothing.  A handful of bucket shapes keeps the
-    compile count bounded."""
+    packed size, so padding to a fixed cap would multiply its FLOPs for
+    nothing, while every distinct shape is a separate XLA compile that a
+    remote-compile tunnel prices in minutes (ba_pack._bucket) — x4 growth
+    is the compromise."""
     mids = [mid for mid in mids if mid in m.points][:cap]
-    cap = min(cap, max(256, 1 << int(np.ceil(np.log2(max(len(mids), 1))))))
+    cap = min(cap, max(256, 4 ** int(np.ceil(
+        np.log2(max(len(mids), 1)) / 2))))
     pos = np.zeros((cap, 3), np.float32)
     desc = np.zeros((cap, 8), np.uint32)
     normal = np.zeros((cap, 3), np.float32)
@@ -550,7 +552,7 @@ def fuse_into(m: Map, rig: CameraRig, cfg: SystemConfig,
                                np.asarray(mp_of_kp))
 
 
-_FUSE_BUCKETS = (2, 4, 8, 16, 32, 64)
+_FUSE_BUCKETS = (4, 16, 64)   # x4 growth — see ba_pack._bucket
 
 
 def fuse_into_batch(m: Map, rig: CameraRig, cfg: SystemConfig,

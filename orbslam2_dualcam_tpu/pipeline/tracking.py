@@ -1045,10 +1045,12 @@ class Tracker:
         M = len(mids)
         if M < 10:
             return None
-        # bucket the padded size (power of two, min 256): the projection
+        # bucket the padded size (power of FOUR, min 256): the projection
         # matcher's Hamming matmul is linear in the packed size, and the
-        # local-point set is usually well under the capacity cap
-        cap = min(cap, max(256, 1 << int(np.ceil(np.log2(M)))))
+        # local-point set is usually well under the capacity cap.  x4
+        # growth keeps the distinct-shape (= compile) count minimal — see
+        # ba_pack._bucket.
+        cap = min(cap, max(256, 4 ** int(np.ceil(np.log2(M) / 2))))
         pos = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)
         normal = np.zeros((cap, 3), np.float32)
