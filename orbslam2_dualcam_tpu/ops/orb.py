@@ -323,16 +323,44 @@ def ic_angles(img: jax.Array, yx: jax.Array, radius: int = 15) -> jax.Array:
 
 
 @functools.lru_cache()
-def _blur_matrix(n: int, sigma: float = 2.0, r: int = 3) -> np.ndarray:
-    """[n, n] banded matrix applying a 1-D Gaussian with edge-clamp
-    padding: out = B @ vec."""
+def _blur_kernel(sigma: float = 2.0, r: int = 3) -> np.ndarray:
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    k = k / k.sum()
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.lru_cache()
+def _blur_matrix(n: int, sigma: float = 2.0, r: int = 3) -> np.ndarray:
+    """[n, n] banded matrix applying a 1-D Gaussian with edge-clamp
+    padding: out = B @ vec.  (Host reference; the jitted path builds the
+    same matrix on device — see _blur_matrix_dev.)"""
+    k = _blur_kernel(sigma, r)
     B = np.zeros((n, n), np.float32)
     for i in range(n):
         for t, w in zip(range(i - r, i + r + 1), k):
             B[i, min(max(t, 0), n - 1)] += w
+    return B
+
+
+def _blur_matrix_dev(n: int, sigma: float = 2.0, r: int = 3) -> jax.Array:
+    """_blur_matrix built ON DEVICE from iotas + the 7-tap kernel.
+
+    Embedding the [n, n] matrices as HLO literals put ~15 MB of dense
+    constants into every extraction executable (per level, both axes);
+    with the one-hot fold below they ballooned the fused tracking
+    executable to 176 MB, which a remote-attached chip must upload on
+    every process start (measured 40-420 s through the axon tunnel).
+    The optimization_barrier on the kernel keeps XLA's constant folder
+    from rebuilding the literal at compile time; constructing the band
+    costs 7 masked [n, n] adds at runtime — microseconds, CSE'd once
+    per level."""
+    kb = jax.lax.optimization_barrier(jnp.asarray(_blur_kernel(sigma, r)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    B = jnp.zeros((n, n), jnp.float32)
+    for o in range(-r, r + 1):
+        t = jnp.clip(rows + o, 0, n - 1)
+        B = B + kb[o + r] * (cols == t).astype(jnp.float32)
     return B
 
 
@@ -356,6 +384,31 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return R
 
 
+def _resize_matrix_dev(n_in: int, n_out: int) -> jax.Array:
+    """_resize_matrix built ON DEVICE (same literal-bloat rationale as
+    _blur_matrix_dev; numerics differ from the host build only in f32
+    summation order, ~1 ulp).
+
+    The triangle kernel's support is computed on an extended column range
+    [-K, n_in+K); out-of-range columns fold into the edge columns exactly
+    like the host loop's index clamp."""
+    scale = n_in / n_out
+    s = max(scale, 1.0)
+    K = int(np.ceil(s)) + 2
+    ncol = n_in + 2 * K
+    # barrier on the scalar parameters so the whole construction stays a
+    # runtime computation instead of a folded [n_out, n_in] literal
+    sb = jax.lax.optimization_barrier(jnp.float32(s))
+    i = jax.lax.broadcasted_iota(jnp.float32, (n_out, ncol), 0)
+    t = jax.lax.broadcasted_iota(jnp.float32, (n_out, ncol), 1) - K
+    x = (i + 0.5) * scale - 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t - x) / sb)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    core = w[:, K:K + n_in]
+    core = core.at[:, 0].add(jnp.sum(w[:, :K], axis=1))
+    return core.at[:, n_in - 1].add(jnp.sum(w[:, K + n_in:], axis=1))
+
+
 def gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
     """Separable 7x7 Gaussian blur (reference blurs with 7x7 sigma=2 before
     BRIEF, ORBextractor.cc:1084-1090).
@@ -365,8 +418,8 @@ def gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
     sliding-window form by ~20x on this chip (measured: the blur was the
     single largest extract stage as convolves)."""
     H, W = img.shape
-    Bh = jnp.asarray(_blur_matrix(H, sigma))
-    Bw = jnp.asarray(_blur_matrix(W, sigma))
+    Bh = _blur_matrix_dev(H, sigma)
+    Bw = _blur_matrix_dev(W, sigma)
     out = jnp.dot(Bh, img, preferred_element_type=jnp.float32)
     return jnp.dot(out, Bw.T, preferred_element_type=jnp.float32)
 
@@ -428,7 +481,14 @@ def brief_descriptors_matmul(img_blur: jax.Array, yx: jax.Array,
 def _brief_from_patches(patches: jax.Array, angles: jax.Array, seed: int,
                         patch_size: int, bf16: bool) -> jax.Array:
     n_bins = 30
-    idx = jnp.asarray(_steered_sampling_indices(seed, patch_size))
+    # barrier: without it XLA constant-folds the one_hot of this table
+    # into a dense [PP, 30*512] f32 literal (~93 MB) inside the compiled
+    # executable — the single largest contributor to the 176 MB fused
+    # tracking program a remote-attached chip had to upload per process
+    # start.  Materializing S2 at runtime instead costs one 93 MB HBM
+    # write per dispatch (~0.1 ms at 819 GB/s).
+    idx = jax.lax.optimization_barrier(
+        jnp.asarray(_steered_sampling_indices(seed, patch_size)))
     N = patches.shape[0]
     PP = patches.shape[1] * patches.shape[2]
     flat = patches.reshape(N, -1)
@@ -524,8 +584,8 @@ def build_pyramid(img: jax.Array, n_levels: int, scale: float) -> list[jax.Array
         hp, wp = pyr[-1].shape
         h = int(round(H / scale ** l))
         w = int(round(W / scale ** l))
-        Rh = jnp.asarray(_resize_matrix(hp, h))
-        Rw = jnp.asarray(_resize_matrix(wp, w))
+        Rh = _resize_matrix_dev(hp, h)
+        Rw = _resize_matrix_dev(wp, w)
         out = jnp.dot(Rh, pyr[-1], preferred_element_type=jnp.float32)
         pyr.append(jnp.dot(out, Rw.T, preferred_element_type=jnp.float32))
     return pyr

@@ -16,6 +16,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orbslam2_dualcam_tpu.ops import camera, lie, matching, orb
 from orbslam2_dualcam_tpu.ops.camera import CameraRig
@@ -60,10 +61,27 @@ def _extract_frame_body(images: jax.Array, cfg: SystemConfig, n_feats: int,
     return FrameData(feats=feats, words=words, nodes=nodes)
 
 
+def host_constants(tree):
+    """np-ify the jax.Array leaves of a pytree that a jitted closure will
+    capture as constants.
+
+    MLIR lowering embeds closed-over arrays as literals; for a DEVICE
+    array that means fetching its value back first
+    (mlir._array_mlir_constant_handler -> ArrayImpl._value), and on a
+    remote-attached chip each fetch is a transport round trip whose
+    latency varies from ms to tens of seconds — measured 40-420 s to
+    build the same fused track program run-to-run, entirely inside
+    .lower() (round-5 postmortem).  Host numpy constants embed directly;
+    tracing semantics are identical."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+
+
 def make_extract_fn(cfg: SystemConfig, n_feats: int,
                     voc: Optional[bow.Vocabulary], rig: CameraRig):
     """Build the jitted per-frame extraction program (closure keeps the
     vocabulary's static tree parameters out of the trace)."""
+    voc, rig = host_constants(voc), host_constants(rig)
 
     @jax.jit
     def extract_frame(images: jax.Array) -> FrameData:
@@ -106,7 +124,8 @@ def make_track_fn(cfg: SystemConfig, n_feats: int,
     device array so the deferred pipeline can chain frames without any
     host round trip, which is also why V_new (the velocity model update)
     is computed in-program."""
-    body = _make_track_body(cfg, n_feats, voc, rig)
+    body = _make_track_body(cfg, n_feats, host_constants(voc),
+                            host_constants(rig))
 
     @jax.jit
     def track_frame(images: jax.Array, T_last: jax.Array, V: jax.Array,
@@ -129,7 +148,8 @@ def make_track_batch_fn(cfg: SystemConfig, n_feats: int,
     batched readback per D frames — on a remote-attached chip this
     divides the per-frame round-trip and dispatch overhead by D (the
     driver of whole-system fps once the compute itself is pipelined)."""
-    body = _make_track_body(cfg, n_feats, voc, rig)
+    body = _make_track_body(cfg, n_feats, host_constants(voc),
+                            host_constants(rig))
 
     @jax.jit
     def track_batch(images: jax.Array, T_last: jax.Array, V: jax.Array,
@@ -154,7 +174,7 @@ def make_track_batch_fn(cfg: SystemConfig, n_feats: int,
 
 def _make_track_body(cfg: SystemConfig, n_feats: int,
                      voc: Optional[bow.Vocabulary], rig: CameraRig):
-    level_scales = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+    level_scales = np.asarray(cfg.orb.scale_factors, np.float32)
     th_high = jnp.float32(cfg.matcher.th_high)
     th_low = jnp.float32(cfg.matcher.th_low)
     min_motion = int(cfg.tracker.min_matches_motion)

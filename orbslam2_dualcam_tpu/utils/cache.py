@@ -37,13 +37,20 @@ def machine_key() -> str:
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
-def setup_compile_cache(root: str, min_compile_secs: float = 0.5) -> str:
+def setup_compile_cache(root: str, min_compile_secs: float = 0.5,
+                        suffix: str = "") -> str:
     """Point JAX's persistent compilation cache at `<root>/.jax_cache/<key>`.
 
-    Must run before the first compilation.  Returns the cache dir."""
+    Must run before the first compilation.  Returns the cache dir.
+
+    `suffix` segregates independent process populations (e.g. the pytest
+    suite vs TPU bench processes): a worker aborted inside
+    put_executable_and_time when both hammered one directory concurrently,
+    and the populations share no entries anyway (backend is part of the
+    entry key)."""
     import jax
 
-    cache = os.path.join(root, ".jax_cache", machine_key())
+    cache = os.path.join(root, ".jax_cache", machine_key() + suffix)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

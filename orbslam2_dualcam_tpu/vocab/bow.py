@@ -200,13 +200,16 @@ def quantize(voc: Vocabulary, desc: jax.Array):
     direct = jnp.zeros(n, jnp.int32)
     for level, cents in enumerate(voc.centroids):
         child_idx = node[:, None] * k + jnp.arange(k)[None, :]   # [N, k]
-        cand = cents[child_idx]                                  # [N, k, 8]
+        # jnp view: the tree tables may arrive as host numpy constants
+        # (frontend.host_constants), which can't be fancy-indexed by a
+        # tracer directly
+        cand = jnp.asarray(cents)[child_idx]                     # [N, k, 8]
         d = jax.lax.population_count(
             cand ^ desc[:, None, :]).sum(-1)                     # [N, k]
         node = (node * k + jnp.argmin(d, axis=1).astype(jnp.int32))
         if level + 1 == voc.direct_level:
             direct = node
-    word = node if voc.word_map is None else voc.word_map[node]
+    word = node if voc.word_map is None else jnp.asarray(voc.word_map)[node]
     return word, direct
 
 

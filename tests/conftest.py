@@ -22,7 +22,8 @@ jax.config.update("jax_platforms", "cpu")
 # loading one on a different microarch risks SIGILL.
 from orbslam2_dualcam_tpu.utils.cache import setup_compile_cache  # noqa: E402
 
-setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    suffix="-tests")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
